@@ -1,0 +1,401 @@
+"""Perceiver IO primitives: Fourier position encoding, modalities, encoder/decoder.
+
+In-repo replacement for the external ``perceiver-pytorch`` package the reference
+depends on (reference requirements.txt:20; used at satflow/models/perceiver.py:22-28:
+``MultiPerceiver``, ``InputModality``, ``LearnableQuery``, ``ImageEncoder``,
+``ImageDecoder``, ``encode_position``).
+
+TPU-native design notes:
+- All attention is batched einsum MHA (MXU matmuls, softmax fused by XLA).
+- The latent bottleneck (cross-attend N tokens → num_latents) keeps cost linear
+  in token count — the reason Perceiver scales to multi-modal video inputs.
+- Modalities are brought to a common token dim with a per-modality Dense
+  projection + learned modality embedding (instead of perceiver-pytorch's
+  ragged zero-padding to the max dim — same capability, dense MXU-friendly
+  layout, no wasted lanes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Fourier position encoding (perceiver_pytorch.utils.encode_position parity)
+# ---------------------------------------------------------------------------
+
+
+def fourier_features(
+    index_dims: Sequence[int],
+    num_bands: int,
+    max_frequency: float,
+    sine_only: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Fourier position features over an N-D index grid.
+
+    Returns (prod(index_dims), feature_dim) where feature_dim =
+    n_axes * (num_bands * (1 if sine_only else 2) + 1): per axis, sin (and cos)
+    at ``num_bands`` frequencies linspaced 1..max_frequency/2, plus the raw
+    normalized coordinate (the Perceiver convention).
+    """
+    grids = [jnp.linspace(-1.0, 1.0, d, dtype=dtype) for d in index_dims]
+    pos = jnp.stack(jnp.meshgrid(*grids, indexing="ij"), axis=-1)  # (*dims, n_axes)
+    pos = pos.reshape(-1, len(index_dims))  # (N, n_axes)
+    freqs = jnp.linspace(1.0, max_frequency / 2.0, num_bands, dtype=dtype)
+    angles = np.pi * pos[..., None] * freqs  # (N, n_axes, bands)
+    feats = [jnp.sin(angles)]
+    if not sine_only:
+        feats.append(jnp.cos(angles))
+    feats = jnp.concatenate(feats, axis=-1)  # (N, n_axes, bands*(1|2))
+    feats = feats.reshape(pos.shape[0], -1)
+    return jnp.concatenate([feats, pos], axis=-1)
+
+
+def encode_position(
+    batch: int,
+    axis: Sequence[int],
+    num_frequency_bands: int,
+    max_frequency: float,
+    sine_only: bool = False,
+) -> jax.Array:
+    """Batched Fourier features, (B, prod(axis), feat) — encode_position parity."""
+    ff = fourier_features(axis, num_frequency_bands, max_frequency, sine_only)
+    ff = ff.reshape(*axis, ff.shape[-1])
+    return jnp.broadcast_to(ff[None], (batch, *ff.shape))
+
+
+@dataclasses.dataclass(frozen=True)
+class InputModality:
+    """Modality spec (perceiver_pytorch.modalities.InputModality parity)."""
+
+    name: str
+    input_channels: int
+    input_axis: int  # 3 video, 2 image, 1 series
+    num_freq_bands: int = 32
+    max_freq: float = 4.0
+    sin_only: bool = False
+    fourier_encode: bool = True
+
+    @property
+    def fourier_dim(self) -> int:
+        if not self.fourier_encode:
+            return 0
+        per_axis = self.num_freq_bands * (1 if self.sin_only else 2) + 1
+        return self.input_axis * per_axis
+
+
+# ---------------------------------------------------------------------------
+# Attention blocks
+# ---------------------------------------------------------------------------
+
+
+class MHAttention(nn.Module):
+    """Multi-head attention: queries (B,M,Dq) attend over context (B,N,Dc)."""
+
+    heads: int = 8
+    dim_head: int = 64
+    out_features: Optional[int] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q_in: jax.Array, kv_in: jax.Array) -> jax.Array:
+        out_dim = self.out_features or q_in.shape[-1]
+        inner = self.heads * self.dim_head
+        q = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+                            dtype=self.dtype, name="to_q")(q_in)
+        k = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+                            dtype=self.dtype, name="to_k")(kv_in)
+        v = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+                            dtype=self.dtype, name="to_v")(kv_in)
+        scale = self.dim_head**-0.5
+        logits = jnp.einsum("bmhd,bnhd->bhmn", q * scale, k)
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhmn,bnhd->bmhd", weights, v)
+        return nn.DenseGeneral(out_dim, axis=(-2, -1), dtype=self.dtype,
+                               name="to_out")(out)
+
+
+class _FeedForward(nn.Module):
+    mult: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = nn.Dense(d * self.mult, dtype=self.dtype, name="in")(x)
+        h = nn.gelu(h)
+        return nn.Dense(d, dtype=self.dtype, name="out")(h)
+
+
+class CrossAttentionBlock(nn.Module):
+    heads: int = 1
+    dim_head: int = 64
+    ff: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, latents: jax.Array, context: jax.Array) -> jax.Array:
+        h = MHAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="ln_q")(latents),
+            nn.LayerNorm(dtype=self.dtype, name="ln_kv")(context),
+        )
+        latents = latents + h
+        if self.ff:
+            latents = latents + _FeedForward(dtype=self.dtype, name="ff")(
+                nn.LayerNorm(dtype=self.dtype, name="ln_ff")(latents)
+            )
+        return latents
+
+
+class SelfAttentionBlock(nn.Module):
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        x = x + MHAttention(self.heads, self.dim_head, dtype=self.dtype,
+                            name="attn")(h, h)
+        x = x + _FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="ln_ff")(x)
+        )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# MultiPerceiverIO
+# ---------------------------------------------------------------------------
+
+
+class MultiPerceiverIO(nn.Module):
+    """Multimodal Perceiver IO (perceiver_pytorch.MultiPerceiver parity).
+
+    Inputs: dict name → array shaped (B, *index_dims, channels) per its
+    ``InputModality``. Each modality is flattened to tokens, Fourier-position
+    encoded, projected to ``dim`` and tagged with a learned modality embedding;
+    all tokens concatenate into one context. Latents cross-attend once, run
+    ``depth`` self-attention blocks (optionally weight-tied), and decoder
+    queries cross-attend the latents to produce (B, M, logits_dim).
+    """
+
+    modalities: Tuple[InputModality, ...]
+    dim: int = 32
+    queries_dim: int = 32
+    logits_dim: int = 100
+    depth: int = 6
+    num_latents: int = 256
+    latent_dim: int = 512
+    cross_heads: int = 1
+    latent_heads: int = 8
+    cross_dim_head: int = 8
+    latent_dim_head: int = 64
+    weight_tie_layers: bool = False
+    decoder_ff: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Dict[str, jax.Array],
+        queries: jax.Array,
+    ) -> jax.Array:
+        tokens: List[jax.Array] = []
+        b = next(iter(inputs.values())).shape[0]
+        mod_emb = self.param(
+            "modality_emb", nn.initializers.normal(0.02),
+            (len(self.modalities), self.dim),
+        )
+        for mi, mod in enumerate(self.modalities):
+            if mod.name not in inputs:
+                continue
+            x = inputs[mod.name]
+            if x.ndim == mod.input_axis + 1:  # missing channel dim (1D series)
+                x = x[..., None]
+            index_dims = x.shape[1 : 1 + mod.input_axis]
+            flat = x.reshape(b, int(np.prod(index_dims)), x.shape[-1])
+            if mod.fourier_encode:
+                ff = fourier_features(
+                    index_dims, mod.num_freq_bands, mod.max_freq, mod.sin_only,
+                    dtype=flat.dtype,
+                )
+                ff = jnp.broadcast_to(ff[None], (b, *ff.shape))
+                flat = jnp.concatenate([flat, ff], axis=-1)
+            proj = nn.Dense(self.dim, dtype=self.dtype, name=f"proj_{mod.name}")(flat)
+            tokens.append(proj + mod_emb[mi])
+        context = jnp.concatenate(tokens, axis=1)
+
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02), (self.num_latents, self.latent_dim)
+        )
+        z = jnp.broadcast_to(latents[None], (b, *latents.shape)).astype(context.dtype)
+        z = CrossAttentionBlock(
+            self.cross_heads, self.cross_dim_head, dtype=self.dtype, name="encode"
+        )(z, context)
+
+        if self.weight_tie_layers:
+            block = SelfAttentionBlock(
+                self.latent_heads, self.latent_dim_head, dtype=self.dtype, name="latent"
+            )
+            for _ in range(self.depth):
+                z = block(z)
+        else:
+            for i in range(self.depth):
+                z = SelfAttentionBlock(
+                    self.latent_heads, self.latent_dim_head, dtype=self.dtype,
+                    name=f"latent{i}",
+                )(z)
+
+        q = nn.Dense(self.queries_dim, dtype=self.dtype, name="query_proj")(queries)
+        out = CrossAttentionBlock(
+            self.cross_heads, self.cross_dim_head, ff=self.decoder_ff,
+            dtype=self.dtype, name="decode",
+        )(q, z)
+        return nn.Dense(self.logits_dim, dtype=self.dtype, name="to_logits")(out)
+
+
+class LearnableQuery(nn.Module):
+    """Learned decoder query grid (perceiver_pytorch.queries.LearnableQuery).
+
+    A learned (T, H, W, C) or (H, W, C) grid, optionally concatenated with
+    Fourier features (possibly externally supplied, for temporal consistency —
+    reference perceiver.py:363-396), mixed by a conv, flattened to (B, M, C).
+    """
+
+    channel_dim: int = 32
+    query_shape: Tuple[int, ...] = (32, 32)
+    max_frequency: float = 4.0
+    num_frequency_bands: int = 32
+    sine_only: bool = False
+    generate_fourier_features: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, batch: int, fourier: Optional[jax.Array] = None
+    ) -> jax.Array:
+        grid = self.param(
+            "query", nn.initializers.normal(0.02),
+            (*self.query_shape, self.channel_dim),
+        )
+        q = jnp.broadcast_to(grid[None], (batch, *grid.shape))
+        if fourier is not None:
+            q = jnp.concatenate([q, fourier.reshape(batch, *self.query_shape, -1)], axis=-1)
+        elif self.generate_fourier_features:
+            ff = fourier_features(
+                self.query_shape, self.num_frequency_bands, self.max_frequency,
+                self.sine_only, dtype=q.dtype,
+            ).reshape(*self.query_shape, -1)
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(ff[None], (batch, *ff.shape))], axis=-1
+            )
+        # conv mixing: 3D kernel for (T,H,W) queries, 2D for (H,W)
+        ks = (3,) * len(self.query_shape)
+        q = nn.Conv(self.channel_dim, ks, padding="SAME", dtype=self.dtype,
+                    name="mix")(q)
+        return q.reshape(batch, int(np.prod(self.query_shape)), self.channel_dim)
+
+
+# ---------------------------------------------------------------------------
+# Image pre/post-processors (perceiver_pytorch encoders/decoders parity)
+# ---------------------------------------------------------------------------
+
+
+class ImageEncoder(nn.Module):
+    """Video/image preprocessor (prep types: conv, patches, pixels, conv1x1, metnet).
+
+    Applies per frame over (B, T, H, W, C) or directly over (B, H, W, C):
+    - "conv":    strided conv ×4 downsample,
+    - "patches": space-to-depth (patch fold),
+    - "pixels":  stride-4 subsample,
+    - "conv1x1": 1×1 conv with stride,
+    - "metnet":  center-crop ×1/2 + space-to-depth ×2 twice (8× channels).
+    """
+
+    prep_type: str = "patches"
+    output_channels: int = 64
+    spatial_downsample: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from satflow_tpu.nn.misc import crop_center, space_to_depth
+
+        video = x.ndim == 5
+        if self.prep_type == "metnet":
+            # MetNet prep: center-crop ×1/2, space-to-depth ×2 (4× channels),
+            # then pair consecutive frames (T → T/2, 8× channels total) —
+            # the "8 * sat_channels" geometry of reference perceiver.py:126-130.
+            h = x.shape[-3]
+            x = crop_center(x, h // 2, h // 2)
+            x = space_to_depth(x, 2)
+            if video and x.shape[1] % 2 == 0:
+                b, t = x.shape[:2]
+                x = x.reshape(b, t // 2, 2, *x.shape[2:])
+                x = jnp.concatenate([x[:, :, 0], x[:, :, 1]], axis=-1)
+            return x
+        if video:
+            b, t = x.shape[:2]
+            x = x.reshape(b * t, *x.shape[2:])
+        if self.prep_type == "conv":
+            s = self.spatial_downsample
+            x = nn.Conv(self.output_channels, (s, s), strides=(s, s),
+                        dtype=self.dtype, name="conv")(x)
+        elif self.prep_type == "patches":
+            x = space_to_depth(x, self.spatial_downsample)
+        elif self.prep_type == "pixels":
+            x = x[:, :: self.spatial_downsample, :: self.spatial_downsample]
+        elif self.prep_type == "conv1x1":
+            x = nn.Conv(self.output_channels, (1, 1),
+                        strides=(self.spatial_downsample,) * 2,
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            raise ValueError(f"Invalid prep_type {self.prep_type!r}")
+        if video:
+            x = x.reshape(b, t, *x.shape[1:])
+        return x
+
+
+class ImageDecoder(nn.Module):
+    """Inverse postprocessor (postprocess types: conv, patches, pixels, conv1x1)."""
+
+    postprocess_type: str = "patches"
+    output_channels: int = 12
+    spatial_upsample: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from satflow_tpu.nn.misc import reverse_space_to_depth
+
+        video = x.ndim == 5
+        if video:
+            b, t = x.shape[:2]
+            x = x.reshape(b * t, *x.shape[2:])
+        if self.postprocess_type == "conv":
+            s = self.spatial_upsample
+            x = nn.ConvTranspose(self.output_channels, (s, s), strides=(s, s),
+                                 dtype=self.dtype, name="conv")(x)
+        elif self.postprocess_type == "patches":
+            x = reverse_space_to_depth(x, self.spatial_upsample)
+        elif self.postprocess_type == "pixels":
+            x = jax.image.resize(
+                x, (x.shape[0], x.shape[1] * self.spatial_upsample,
+                    x.shape[2] * self.spatial_upsample, x.shape[3]),
+                method="nearest",
+            )
+        elif self.postprocess_type == "conv1x1":
+            x = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                        name="conv")(x)
+        else:
+            raise ValueError(f"Invalid postprocess_type {self.postprocess_type!r}")
+        if video:
+            x = x.reshape(b, t, *x.shape[1:])
+        return x

@@ -1,0 +1,156 @@
+"""Dense optical flow + image warping for the baseline parity harness.
+
+Reference harness (satflow/baseline/optical_flow.py): Farneback dense flow via
+OpenCV between the two latest past frames (:51-53), and ``warp_flow`` =
+``cv2.remap(img, flow + grid, INTER_LINEAR)`` applied repeatedly for 48 lead
+steps (:24-30, :67-74).
+
+This module provides:
+- ``warp_flow`` — pure-JAX bilinear warp with cv2.remap semantics
+  (map_coordinates; jit/vmap-able, runs on TPU),
+- ``horn_schunck_flow`` — a pure-JAX iterative dense-flow solver (the TPU-native
+  flow path; ``lax.scan`` over relaxation iterations),
+- ``farneback_flow`` — OpenCV Farneback when cv2 is importable (numerical
+  parity with the published 0.1541/0.1566 numbers), falling back to
+  Horn–Schunck otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def warp_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """cv2.remap-equivalent bilinear warp: out(y,x) = img(y + fy, x + fx).
+
+    img: (H, W) or (H, W, C); flow: (H, W, 2) with (fx, fy) ordering as OpenCV.
+    Out-of-range samples clamp to the border (cv2 BORDER_CONSTANT differs
+    slightly; clamping avoids injecting zeros into the MSE at the edges).
+    """
+    h, w = img.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype),
+                          jnp.arange(w, dtype=flow.dtype), indexing="ij")
+    src_x = jnp.clip(xx + flow[..., 0], 0.0, w - 1.0)
+    src_y = jnp.clip(yy + flow[..., 1], 0.0, h - 1.0)
+
+    def sample_channel(channel):
+        return _bilinear(channel, src_y, src_x)
+
+    if img.ndim == 2:
+        return sample_channel(img)
+    return jnp.stack(
+        [sample_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1
+    )
+
+
+def _bilinear(img2d: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, img2d.shape[0] - 1)
+    x1 = jnp.minimum(x0 + 1, img2d.shape[1] - 1)
+    wy = y - y0
+    wx = x - x0
+    v00 = img2d[y0, x0]
+    v01 = img2d[y0, x1]
+    v10 = img2d[y1, x0]
+    v11 = img2d[y1, x1]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def horn_schunck_flow(
+    prev: jax.Array,
+    curr: jax.Array,
+    alpha: float = 0.05,
+    num_iters: int = 200,
+) -> jax.Array:
+    """Horn–Schunck extrapolation flow over (H, W) frames → (H, W, 2) (fx, fy).
+
+    Jacobi relaxation in a ``lax.scan`` — fully on-device, no data-dependent
+    control flow. Sign convention matches the reference harness's backward-flow
+    trick: the returned flow is −motion(prev→curr), so
+    ``warp_flow(curr, flow)`` extrapolates the NEXT frame (the reference
+    computes Farneback(latest, older) and warps forward, optical_flow.py:51-53).
+    α default tuned on synthetic 1-px translations (α=1 underestimates weak
+    gradients by ~50×; 0.03–0.1 recovers ~0.99 of the displacement).
+    """
+    prev = prev.astype(jnp.float32)
+    curr = curr.astype(jnp.float32)
+    # derivatives (Horn-Schunck stencils)
+    ix = (_shift(curr, 0, -1) - _shift(curr, 0, 1)) * 0.5
+    iy = (_shift(curr, -1, 0) - _shift(curr, 1, 0)) * 0.5
+    it = curr - prev
+
+    kernel = jnp.asarray(
+        [[1 / 12, 1 / 6, 1 / 12], [1 / 6, 0.0, 1 / 6], [1 / 12, 1 / 6, 1 / 12]],
+        dtype=jnp.float32,
+    )
+
+    def avg(f):
+        return jax.scipy.signal.convolve2d(f, kernel, mode="same")
+
+    def body(carry, _):
+        u, v = carry
+        u_bar = avg(u)
+        v_bar = avg(v)
+        num = ix * u_bar + iy * v_bar + it
+        den = alpha**2 + ix * ix + iy * iy
+        u_new = u_bar - ix * num / den
+        v_new = v_bar - iy * num / den
+        return (u_new, v_new), None
+
+    u0 = jnp.zeros_like(curr)
+    (u, v), _ = jax.lax.scan(body, (u0, u0), None, length=num_iters)
+    # flow such that warping curr forward extrapolates the motion:
+    return jnp.stack([-u, -v], axis=-1)
+
+
+def farneback_flow(prev: np.ndarray, curr: np.ndarray) -> np.ndarray:
+    """Extrapolation flow from (older, latest) frames.
+
+    Uses the reference's exact algorithm + parameters + argument order when
+    OpenCV is available — ``calcOpticalFlowFarneback(latest, older, ...)``,
+    i.e. the BACKWARD flow whose forward warp extrapolates motion
+    (optical_flow.py:51-53) — else the JAX Horn–Schunck path with the same
+    sign convention.
+    """
+    try:
+        import cv2
+
+        return cv2.calcOpticalFlowFarneback(
+            np.asarray(curr, dtype=np.float32),
+            np.asarray(prev, dtype=np.float32),
+            None, 0.5, 3, 15, 3, 5, 1.2, 0,
+        )
+    except ImportError:
+        return np.asarray(horn_schunck_flow(jnp.asarray(prev), jnp.asarray(curr)))
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def rollout_warp(frame: jax.Array, flow: jax.Array, steps: int) -> jax.Array:
+    """Apply ``warp_flow`` repeatedly: (H, W[, C]) → (steps, H, W[, C]).
+
+    The reference's 48-iteration Python warp loop (optical_flow.py:67-74) as a
+    single compiled ``lax.scan``.
+    """
+
+    def body(img, _):
+        nxt = warp_flow(img, flow)
+        return nxt, nxt
+
+    _, frames = jax.lax.scan(body, frame, None, length=steps)
+    return frames
+
+
+def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    return jnp.roll(x, (dy, dx), axis=(0, 1))

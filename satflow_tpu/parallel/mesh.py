@@ -1,0 +1,88 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for DDP/DeepSpeed.
+
+The reference scales with PyTorch-Lightning DDP over NCCL (reference
+satflow/configs/trainer/ddp.yaml:1-6) and DeepSpeed ZeRO for optimizer-state
+sharding (configs/trainer/deepspeed.yaml:51). Here parallelism is expressed once,
+declaratively: a global ``jax.sharding.Mesh`` with axes
+
+    ("data", "model")
+
+- batch tensors are sharded over ``data`` (DP); gradient all-reduce is emitted by
+  XLA as ICI ``psum`` from the sharded jit, no user collectives;
+- optimizer/parameter state can additionally be sharded over ``data`` for
+  ZeRO-style memory scaling (see ``satflow_tpu.parallel.zero``);
+- ``model`` is available for spatial/tensor sharding of large activations.
+
+Multi-host (the reference's ``num_nodes``) is the same mesh built from
+``jax.devices()`` after ``jax.distributed.initialize`` — DCN axes outermost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def make_mesh(
+    axis_shapes: Optional[Sequence[int]] = None,
+    axis_names: Tuple[str, ...] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the global mesh. Default: all devices on the ``data`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if axis_shapes is None:
+        axis_shapes = [n] + [1] * (len(axis_names) - 1)
+    if int(np.prod(axis_shapes)) != n:
+        raise ValueError(f"Mesh {axis_shapes} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(axis_shapes)
+    return Mesh(dev_array, axis_names)
+
+
+def get_mesh() -> Mesh:
+    """Process-global mesh (created on first use)."""
+    global _GLOBAL_MESH
+    if _GLOBAL_MESH is None:
+        _GLOBAL_MESH = make_mesh()
+    return _GLOBAL_MESH
+
+
+def set_mesh(mesh: Mesh) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def batch_sharding(mesh: Optional[Mesh] = None, axis: str = "data") -> NamedSharding:
+    """Sharding for batch-leading tensors: shard dim 0 over the data axis."""
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None):
+    """Device-put a host batch pytree with dim-0 sharded over ``data``.
+
+    This is the host→HBM boundary of the input pipeline (the reference's
+    pin_memory + ``.cuda()`` copy, datamodules.py:87-96). Scalars and
+    rank-0 leaves are replicated.
+    """
+    mesh = mesh or get_mesh()
+    data_sh = batch_sharding(mesh)
+    rep_sh = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
+            return jax.device_put(x, rep_sh)
+        return jax.device_put(x, data_sh)
+
+    return jax.tree_util.tree_map(put, batch)

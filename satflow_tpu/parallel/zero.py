@@ -1,0 +1,78 @@
+"""ZeRO-style optimizer-state sharding over the data axis.
+
+The TPU-native equivalent of the reference's DeepSpeed ZeRO stage-2/3 plugins
+(reference satflow/configs/trainer/deepspeed.yaml:51,
+deepspeed_zero_three.yaml:51): optimizer moments (and optionally parameters)
+are sharded across data-parallel devices instead of replicated. Here that is
+pure sharding metadata — each opt-state leaf gets a ``NamedSharding`` that
+splits its largest divisible axis over ``data``; XLA inserts the
+reduce-scatter/all-gather pattern automatically when the jitted train step
+consumes them. No user-level collectives, no wrapper engine.
+
+Usage::
+
+    state = TrainState.create(...)
+    state = apply_zero_sharding(state, mesh)       # opt state scattered
+    train_step = jax.jit(step, donate_argnums=(0,))
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from satflow_tpu.parallel.mesh import get_mesh
+
+
+def leaf_sharding(x, mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the largest axis divisible by the mesh axis size; else replicate."""
+    n = mesh.shape[axis]
+    shape = getattr(x, "shape", ())
+    if n <= 1 or not shape:
+        return NamedSharding(mesh, P())
+    dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in dims:
+        if shape[d] % n == 0 and shape[d] >= n:
+            spec = [None] * len(shape)
+            spec[d] = axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def tree_shardings(tree, mesh: Optional[Mesh] = None, axis: str = "data"):
+    mesh = mesh or get_mesh()
+    return jax.tree_util.tree_map(lambda x: leaf_sharding(x, mesh, axis), tree)
+
+
+def apply_zero_sharding(state, mesh: Optional[Mesh] = None, shard_params: bool = False):
+    """Scatter a TrainState's optimizer state (stage-2) and optionally params
+    (stage-3) across the data axis; everything else replicated."""
+    mesh = mesh or get_mesh()
+    rep = NamedSharding(mesh, P())
+
+    def put_rep(t):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+
+    def put_sharded(t):
+        sh = tree_shardings(t, mesh)
+        return jax.tree_util.tree_map(jax.device_put, t, sh)
+
+    updates: dict = {"model_state": put_rep(state.model_state)}
+    if hasattr(state, "opt_state"):
+        updates["opt_state"] = put_sharded(state.opt_state)
+        updates["params"] = (
+            put_sharded(state.params) if shard_params else put_rep(state.params)
+        )
+    else:  # GANTrainState
+        updates["g_opt_state"] = put_sharded(state.g_opt_state)
+        updates["d_opt_state"] = put_sharded(state.d_opt_state)
+        updates["g_params"] = (
+            put_sharded(state.g_params) if shard_params else put_rep(state.g_params)
+        )
+        updates["d_params"] = (
+            put_sharded(state.d_params) if shard_params else put_rep(state.d_params)
+        )
+    return state.replace(**updates)

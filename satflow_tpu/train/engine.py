@@ -1,0 +1,289 @@
+"""Trainer: the fit/validate/test engine (the reference's pl.Trainer surface).
+
+Maps the reference trainer config surface (reference satflow/configs/trainer/*.yaml)
+to TPU-native mechanics:
+
+- ``accelerator/gpus/num_nodes``      → the global jax Mesh (parallel.mesh); DP
+  gradient all-reduce is emitted by XLA from the sharded jit.
+- ``precision: 16`` (AMP)             → ``precision="bf16"`` compute dtype policy
+  (no loss scaling needed on TPU).
+- ``accumulate_grad_batches``         → ``optax.MultiSteps`` wrapping.
+- ``gradient_clip_val``               → ``optax.clip_by_global_norm`` in the chain.
+- ``profiler: simple|pytorch``        → ``jax.profiler`` trace to ``profile_dir``.
+- ``terminate_on_nan``                → NaN guard on the jitted loss.
+- ``fast_dev_run`` / ``limit_*_batches`` / ``overfit_batches`` → loop limits.
+- checkpoint/early-stop/LR-monitor    → callbacks (train.callbacks).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+import optax
+
+from satflow_tpu.core.utils import get_logger
+from satflow_tpu.models.base import expand_frame_metrics
+from satflow_tpu.train.loggers import BaseLogger, HistoryLogger
+from satflow_tpu.train.state import GANTrainState, TrainState
+from satflow_tpu.train.steps import (
+    make_eval_step,
+    make_gan_eval_step,
+    make_gan_train_step,
+    make_train_step,
+)
+
+log = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        max_steps: Optional[int] = None,
+        limit_train_batches: Optional[float] = None,
+        limit_val_batches: Optional[float] = None,
+        fast_dev_run: bool = False,
+        accumulate_grad_batches: int = 1,
+        gradient_clip_val: float = 0.0,
+        precision: str | int = 32,
+        check_val_every_n_epoch: int = 1,
+        log_every_n_steps: int = 10,
+        terminate_on_nan: bool = False,
+        profiler: Optional[str] = None,
+        profile_dir: str = "logs/profile",
+        callbacks: Optional[List] = None,
+        logger: Optional[List[BaseLogger]] = None,
+        seed: int = 0,
+        resume_from_checkpoint: Optional[str] = None,
+        # accepted-for-parity knobs (no-ops on TPU or handled elsewhere):
+        gpus: Any = None,
+        tpu_cores: Any = None,
+        num_nodes: int = 1,
+        accelerator: Optional[str] = None,
+        sync_batchnorm: bool = False,
+        **_: Any,
+    ):
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.fast_dev_run = fast_dev_run
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.gradient_clip_val = gradient_clip_val
+        self.precision = precision
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.log_every_n_steps = log_every_n_steps
+        self.terminate_on_nan = terminate_on_nan
+        self.profiler = profiler
+        self.profile_dir = profile_dir
+        self.callbacks = list(callbacks or [])
+        self.history = HistoryLogger()
+        self.loggers: List[BaseLogger] = [self.history] + list(logger or [])
+        self.seed = seed
+        self.resume_from_checkpoint = resume_from_checkpoint
+
+        self.state = None
+        self.model = None
+        self.should_stop = False
+        self.global_step = 0
+        self.last_batch = None
+        self._lr_schedule = None
+
+    # -- public API ----------------------------------------------------------
+
+    @property
+    def callback_metrics(self) -> Dict[str, float]:
+        return self.history.latest
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def current_lr(self) -> Optional[float]:
+        if self._lr_schedule is None:
+            return None
+        return float(self._lr_schedule(self.global_step))
+
+    def fit(self, model, datamodule) -> Dict[str, float]:
+        rng = jax.random.PRNGKey(self.seed)
+        self.model = model
+        train_loader = datamodule.train_dataloader()
+        self._build_state(model, rng, train_loader)
+
+        if model.is_gan:
+            train_step = make_gan_train_step(model)
+            eval_step = make_gan_eval_step(model)
+        else:
+            train_step = make_train_step(model)
+            eval_step = make_eval_step(model)
+
+        for cb in self.callbacks:
+            cb.on_train_start(self)
+
+        n_train = self._limit(len(train_loader), self.limit_train_batches)
+        if self.fast_dev_run:
+            n_train = 1
+        epochs = 1 if self.fast_dev_run else self.max_epochs
+
+        profile_ctx = None
+        if self.profiler:
+            profile_ctx = jax.profiler.trace(self.profile_dir)
+            profile_ctx.__enter__()
+
+        step_rng = jax.random.PRNGKey(self.seed + 1)
+        try:
+            for epoch in range(epochs):
+                if self.should_stop:
+                    break
+                t_epoch = time.time()
+                t_last = t_epoch
+                for i, batch in enumerate(train_loader):
+                    if i >= n_train or self.should_stop:
+                        break
+                    step_rng, sub = jax.random.split(step_rng)
+                    self.last_batch = batch
+                    self.state, metrics = train_step(self.state, batch, sub)
+                    self.global_step += 1
+                    if self.global_step % self.log_every_n_steps == 0 or i == n_train - 1:
+                        now = time.time()
+                        flat = expand_frame_metrics(metrics, "train")
+                        flat["train/steps_per_sec"] = self.log_every_n_steps / max(
+                            now - t_last, 1e-9
+                        )
+                        t_last = now
+                        self.log_metrics(flat, self.global_step)
+                        if self.terminate_on_nan and any(
+                            isinstance(v, float) and math.isnan(v) for v in flat.values()
+                        ):
+                            log.error("NaN loss detected; terminating fit")
+                            self.should_stop = True
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(self, metrics, self.global_step)
+                    if self.max_steps and self.global_step >= self.max_steps:
+                        self.should_stop = True
+                log.info(
+                    "epoch %d done in %.1fs (%d steps)",
+                    epoch, time.time() - t_epoch, self.global_step,
+                )
+                if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                    val_metrics = self._run_eval(
+                        eval_step, datamodule.val_dataloader(), "val", step_rng
+                    )
+                    self.log_metrics(val_metrics, self.global_step)
+                    for cb in self.callbacks:
+                        cb.on_validation_end(self, val_metrics, epoch)
+        finally:
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        for lg in self.loggers:
+            lg.finalize()
+        return self.callback_metrics
+
+    def validate(self, model=None, datamodule=None) -> Dict[str, float]:
+        model = model or self.model
+        eval_step = make_gan_eval_step(model) if model.is_gan else make_eval_step(model)
+        metrics = self._run_eval(
+            eval_step, datamodule.val_dataloader(), "val", jax.random.PRNGKey(self.seed)
+        )
+        self.log_metrics(metrics, self.global_step)
+        return metrics
+
+    def test(self, model=None, datamodule=None) -> Dict[str, float]:
+        model = model or self.model
+        if self.state is None:
+            self._build_state(model, jax.random.PRNGKey(self.seed), datamodule.test_dataloader())
+        eval_step = make_gan_eval_step(model) if model.is_gan else make_eval_step(model)
+        metrics = self._run_eval(
+            eval_step, datamodule.test_dataloader(), "test", jax.random.PRNGKey(self.seed)
+        )
+        self.log_metrics(metrics, self.global_step)
+        return metrics
+
+    # -- internals -----------------------------------------------------------
+
+    def _build_state(self, model, rng: jax.Array, loader: Iterable) -> None:
+        if self.state is not None:
+            return
+        # precision: 16/"bf16" → bf16 compute dtype (params stay f32), the TPU
+        # analog of the reference's AMP (configs/trainer/half.yaml:36).
+        if str(self.precision) in ("16", "bf16", "bfloat16") and getattr(
+            model, "dtype", None
+        ) is None:
+            import jax.numpy as jnp
+
+            model.dtype = jnp.bfloat16
+            model.module = model.build_module()
+            if model.is_gan:
+                model.disc_module = model.build_discriminator()
+        first_batch = next(iter(loader))
+        if model.is_gan:
+            g_vars, d_vars = model.init_gan_variables(rng, first_batch)
+            g_params, g_state = model.split_variables(g_vars)
+            d_params, d_state = model.split_variables(d_vars)
+            model_state = {"g": g_state, "d": d_state}
+            g_tx, d_tx = model.make_optimizers()
+            g_tx, d_tx = self._wrap_tx(g_tx), self._wrap_tx(d_tx)
+            self.state = GANTrainState.create(g_params, d_params, model_state, g_tx, d_tx)
+        else:
+            variables = model.init_variables(rng, first_batch)
+            params, model_state = model.split_variables(variables)
+            tx = self._wrap_tx(model.make_optimizer())
+            self.state = TrainState.create(params, model_state, tx)
+        self._lr_schedule = getattr(model, "lr_schedule", None)
+
+        if self.resume_from_checkpoint:
+            from satflow_tpu.train.checkpoint import restore_checkpoint
+
+            payload = restore_checkpoint(self.resume_from_checkpoint)
+            if model.is_gan:
+                self.state = self.state.replace(
+                    g_params=payload["params"]["generator"],
+                    d_params=payload["params"]["discriminator"],
+                    model_state=payload["model_state"],
+                )
+            else:
+                self.state = self.state.replace(
+                    params=payload["params"], model_state=payload["model_state"]
+                )
+
+    def _wrap_tx(self, tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        chain = []
+        if self.gradient_clip_val:
+            chain.append(optax.clip_by_global_norm(self.gradient_clip_val))
+        chain.append(tx)
+        tx = optax.chain(*chain) if len(chain) > 1 else tx
+        if self.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
+        return tx
+
+    def _run_eval(self, eval_step, loader, split: str, rng: jax.Array) -> Dict[str, float]:
+        n = self._limit(len(loader), self.limit_val_batches)
+        if self.fast_dev_run:
+            n = 1
+        sums: Dict[str, float] = {}
+        count = 0
+        for i, batch in enumerate(loader):
+            if i >= n:
+                break
+            rng, sub = jax.random.split(rng)
+            metrics = eval_step(self.state, batch, sub)
+            flat = expand_frame_metrics(metrics, split)
+            for k, v in flat.items():
+                sums[k] = sums.get(k, 0.0) + v
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    @staticmethod
+    def _limit(n: int, limit: Optional[float]) -> int:
+        if limit is None:
+            return n
+        if isinstance(limit, float) and limit <= 1.0:
+            return max(1, int(n * limit))
+        return min(n, int(limit))

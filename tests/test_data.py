@@ -1,0 +1,119 @@
+"""Data-layer tests: fake schema parity, batch store, past/future split."""
+
+import numpy as np
+import pytest
+
+from satflow_tpu.data import consts
+from satflow_tpu.data.datasets import SatFlowDataset, write_fake_store
+from satflow_tpu.data.fake import AdvectionDataset, FakeDataset
+
+
+def test_fake_dataset_schema():
+    """Shapes must match reference satflow/data/datamodules.py:188-218."""
+    ds = FakeDataset(batch_size=3, width=16, height=16, history_minutes=30,
+                     forecast_minutes=240)
+    x, y = ds[0]
+    seq = 30 // 5 + 1
+    assert x[consts.SATELLITE_DATA].shape == (3, seq, 16, 16, 12)
+    assert x[consts.NWP_DATA].shape == (3, 10, seq, 2, 2)
+    for name in consts.DATETIME_FEATURE_NAMES:
+        assert x[name].shape == (3, seq)
+    # coords sorted ascending (x) / descending (y)
+    xc = x[consts.SATELLITE_X_COORDS]
+    yc = x[consts.SATELLITE_Y_COORDS]
+    assert np.all(np.diff(xc, axis=-1) >= 0)
+    assert np.all(np.diff(yc, axis=-1) <= 0)
+    assert y[consts.SATELLITE_DATA].shape == (3, 48, 16, 16, 12)
+
+
+def test_fake_dataset_deterministic():
+    ds = FakeDataset(batch_size=2, length=2, seed=7)
+    x1, _ = ds[0]
+    x2, _ = ds[0]
+    np.testing.assert_array_equal(
+        x1[consts.SATELLITE_DATA], x2[consts.SATELLITE_DATA]
+    )
+
+
+def test_advection_dataset_moves():
+    ds = AdvectionDataset(batch_size=1, width=16, height=16, number_sat_channels=1,
+                          history_minutes=15, forecast_minutes=10, velocity=(2, 1))
+    x, y = ds[0]
+    frames = x[consts.SATELLITE_DATA][0, :, :, :, 0]
+    # frame 1 is frame 0 rolled by (2, 1)
+    np.testing.assert_allclose(
+        np.roll(np.roll(frames[0], 2, axis=0), 1, axis=1), frames[1], atol=1e-6
+    )
+
+
+def test_npz_store_and_split(tmp_path):
+    """Past/future split parity with reference datasets.py:70-106."""
+    path = str(tmp_path / "train")
+    write_fake_store(path, n_batches=2, batch_size=2, size=8, seq_length=19)
+    ds = SatFlowDataset(2, path, history_minutes=30, forecast_minutes=60)
+    assert ds.current_timestep_index == 7
+    x, y = ds[0]
+    assert x[consts.SATELLITE_DATA].shape == (2, 7, 8, 8, 12)
+    assert y[consts.SATELLITE_DATA].shape == (2, 12, 8, 8, 12)
+    assert x[consts.NWP_DATA].shape == (2, 10, 7, 2, 2)
+    # topo got a channel dim (datasets.py:104)
+    assert x[consts.TOPOGRAPHIC_DATA].shape == (2, 8, 8, 1)
+    for name in consts.DATETIME_FEATURE_NAMES:
+        assert x[name].shape == (2, 7)
+    assert y[consts.SATELLITE_DATETIME_INDEX].shape == (2, 12)
+
+
+def test_sfb_native_store_and_streaming(tmp_path):
+    """Native C++ ingest: store roundtrip + streaming split (skips unbuilt)."""
+    from satflow_tpu.data.native_ingest import native_available, write_sfb
+
+    if not native_available(auto_build=True):
+        pytest.skip("native ingest library not built (no g++)")
+
+    from satflow_tpu.data.datasets import (
+        NativeStreamingDataset,
+        SatFlowDataset,
+        SfbBatchStore,
+    )
+
+    path = str(tmp_path / "train")
+    store = SfbBatchStore(path)
+    rng = np.random.default_rng(0)
+    ref = []
+    for i in range(3):
+        batch = {
+            consts.SATELLITE_DATA: rng.random((2, 10, 8, 8, 3)).astype(np.float32),
+            consts.NWP_DATA: rng.standard_normal((2, 10, 10, 2, 2)).astype(np.float32),
+            consts.TOPOGRAPHIC_DATA: rng.random((2, 8, 8)).astype(np.float32),
+        }
+        store.write(i, batch)
+        ref.append(batch)
+
+    # random-access store path (via SatFlowDataset)
+    ds = SatFlowDataset(3, path, history_minutes=30, forecast_minutes=20)
+    x, y = ds[1]
+    np.testing.assert_array_equal(
+        x[consts.SATELLITE_DATA], ref[1][consts.SATELLITE_DATA][:, :7]
+    )
+    assert x[consts.TOPOGRAPHIC_DATA].shape == (2, 8, 8, 1)
+
+    # streaming path (persistent native reader threads, in order)
+    stream = NativeStreamingDataset(path, history_minutes=30, num_threads=2)
+    for i, (x, y) in enumerate(stream):
+        np.testing.assert_array_equal(
+            y[consts.SATELLITE_DATA], ref[i][consts.SATELLITE_DATA][:, 7:]
+        )
+    assert i == 2
+
+
+def test_prefetcher_orders_and_completes():
+    from satflow_tpu.data.datamodule import Prefetcher
+
+    ds = FakeDataset(batch_size=1, length=5, width=4, height=4)
+    items = list(Prefetcher(ds, num_workers=3, prefetch=2))
+    assert len(items) == 5
+    ref = [ds[i] for i in range(5)]
+    for got, want in zip(items, ref):
+        np.testing.assert_array_equal(
+            got[0][consts.SATELLITE_DATA], want[0][consts.SATELLITE_DATA]
+        )

@@ -1,0 +1,188 @@
+"""Model zoo tests: registry sweep, shape/NaN checks (reference tests/test_models.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from satflow_tpu.core.registry import create_model, get_model, list_models
+from satflow_tpu.data.fake import FakeDataset
+import satflow_tpu.models  # noqa: F401 - populates the registry
+
+
+def _finite(x):
+    return bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_registry_nonempty():
+    assert "encoderdecoderconvlstm" in list_models()
+
+
+@pytest.mark.parametrize("model_name", list_models())
+def test_create_model(model_name):
+    """Every registered model instantiates with defaults (reference :64-76)."""
+    model = create_model(model_name)
+    assert model is not None
+
+
+def test_convlstm_forward_shape(rng):
+    model = create_model(
+        "encoderdecoderconvlstm",
+        input_channels=12,
+        out_channels=1,
+        forecast_steps=4,
+        hidden_dim=16,
+    )
+    ds = FakeDataset(batch_size=2, width=16, height=16, history_minutes=30,
+                     forecast_minutes=20, length=1)
+    batch = ds[0]
+    variables = model.init_variables(rng, batch)
+    x, y = model.prepare_batch(batch)
+    y_hat = model.forward(variables, x)
+    assert y_hat.shape == (2, 4, 16, 16, 1)
+    assert _finite(y_hat)
+    # sigmoid output range
+    assert float(jnp.min(y_hat)) >= 0.0 and float(jnp.max(y_hat)) <= 1.0
+
+
+def test_convlstm_loss_and_frame_metrics(rng):
+    model = create_model(
+        "encoderdecoderconvlstm", forecast_steps=3, hidden_dim=8, out_channels=12
+    )
+    ds = FakeDataset(batch_size=2, width=8, height=8, history_minutes=15,
+                     forecast_minutes=15, length=1)
+    batch = ds[0]
+    variables = model.init_variables(rng, batch)
+    params, state = model.split_variables(variables)
+    loss, (metrics, _) = model.loss(params, state, batch, rng, train=True)
+    assert _finite(loss)
+    assert metrics["frame_loss"].shape == (3,)
+    # mean of frame losses equals total mse
+    np.testing.assert_allclose(
+        float(jnp.mean(metrics["frame_loss"])), float(loss), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("name", ["unet", "runet", "attentionunet", "attentionrunet"])
+def test_unet_family_forward(rng, name):
+    model = create_model(
+        name, input_channels=2, forecast_steps=3, channels_per_timestep=1,
+        features_start=4, depth=3,
+    )
+    ds = FakeDataset(batch_size=2, width=16, height=16, number_sat_channels=2,
+                     history_minutes=15, forecast_minutes=15, length=1)
+    batch = ds[0]
+    variables = model.init_variables(rng, batch)
+    params, state = model.split_variables(variables)
+    assert "batch_stats" in state  # BN state threads through the step
+    loss, (metrics, new_state) = model.loss(params, state, batch, rng, train=True)
+    assert bool(jnp.isfinite(loss))
+    x, _ = model.prepare_batch(batch)
+    y_hat = model.forward(variables, x)
+    assert y_hat.shape == (2, 3, 16, 16, 1)
+
+
+def test_metnet_forward_geometry(rng):
+    """Reference example geometry: 4×input_size in → center-1/4 out at 1/4 res
+    (satflow/examples/metnet_example.py: in (B,7,17,256,256) → out (B,24,1,16,16))."""
+    model = create_model(
+        "litmetnet", input_channels=14, sat_channels=12, input_size=8,
+        output_channels=2, hidden_dim=8, forecast_steps=3, num_att_layers=1,
+    )
+    ds = FakeDataset(batch_size=1, width=32, height=32, number_sat_channels=12,
+                     history_minutes=10, forecast_minutes=15, length=1)
+    batch = ds[0]
+    x, y = model.prepare_batch(batch)
+    assert x.shape[-1] == 12 + 1 + 10  # sat + topo + nwp channels
+    assert y.shape == (1, 3, 2, 2, 2)  # center 1/4 crop at 1/4 res
+    variables = model.init_variables(rng, batch)
+    y_hat = model.forward(variables, x)
+    assert y_hat.shape == (1, 3, 2, 2, 2)
+    assert _finite(y_hat)
+
+
+def test_perceiver_from_real_config(rng):
+    """Config-driven construction + forward (reference tests/test_models.py:15-39)."""
+    import os
+    import yaml
+
+    from satflow_tpu.core.config import default_config_dir, instantiate
+
+    with open(os.path.join(default_config_dir(), "model", "perceiver.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    # shrink for the 1-core CI host, keep the architecture
+    cfg.update(
+        input_size=8, forecast_steps=2, depth=1, num_latents=8, latent_dim=16,
+        dim=8, queries_dim=8, latent_dim_heads=8, cross_dim_heads=4,
+        num_freq_bands=4, history_steps=3,
+    )
+    model = instantiate(cfg)
+    ds = FakeDataset(batch_size=1, width=8, height=8, number_sat_channels=12,
+                     history_minutes=10, forecast_minutes=10, length=1)
+    batch = ds[0]
+    inputs, y = model.prepare_batch(batch)
+    assert y.shape == (1, 2, 8, 8, 12)
+    variables = model.init_variables(rng, batch)
+    y_hat = model.forward(variables, inputs)
+    assert y_hat.shape == (1, 2, 8, 8, 12)
+    assert _finite(y_hat)
+
+
+def test_perceiver_predict_together(rng):
+    model = create_model(
+        "perceiver", input_size=8, forecast_steps=2, depth=1, num_latents=8,
+        latent_dim=16, dim=8, queries_dim=8, latent_dim_heads=8,
+        cross_dim_heads=4, num_freq_bands=4, predict_timesteps_together=True,
+        temporally_consistent_fourier_features=True,
+    )
+    ds = FakeDataset(batch_size=1, width=8, height=8, history_minutes=10,
+                     forecast_minutes=10, length=1)
+    batch = ds[0]
+    variables = model.init_variables(rng, batch)
+    inputs, _ = model.prepare_batch(batch)
+    y_hat = model.forward(variables, inputs)
+    assert y_hat.shape == (1, 2, 8, 8, 12) and _finite(y_hat)
+
+
+def test_fcn_deeplab_pixelcnn_forward(rng):
+    for name, kwargs in (
+        ("fcn", {}),
+        ("deeplabv3", {}),
+        ("pixelcnn", {"hidden_channels": 8, "num_blocks": 1}),
+    ):
+        model = create_model(
+            name, input_channels=2, forecast_steps=2, **kwargs
+        )
+        ds = FakeDataset(batch_size=1, width=32, height=32, number_sat_channels=2,
+                         history_minutes=10, forecast_minutes=10, length=1)
+        batch = ds[0]
+        variables = model.init_variables(rng, batch)
+        x, y = model.prepare_batch(batch)
+        y_hat = model.forward(variables, x)
+        assert y_hat.shape == (1, 2, 32, 32, 1), name
+        assert _finite(y_hat), name
+
+
+def test_pixelcnn_causality(rng):
+    """Masked convs: output pixel (y,x) must not depend on pixels at/after it."""
+    from satflow_tpu.models.pixel_cnn import PixelCNNCore
+
+    core = PixelCNNCore(out_channels=1, hidden_channels=8, num_blocks=1)
+    x = jax.random.uniform(rng, (1, 8, 8, 1))
+    variables = core.init(rng, x)
+    y1 = core.apply(variables, x)
+    x2 = x.at[0, 7, 7, 0].set(123.0)  # mutate the LAST pixel
+    y2 = core.apply(variables, x2)
+    # every output except the last pixel unchanged
+    np.testing.assert_allclose(
+        np.asarray(y1[0, :7]), np.asarray(y2[0, :7]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y1[0, 7, :7]), np.asarray(y2[0, 7, :7]), atol=1e-5
+    )
+
+
+def test_hparams_roundtrip():
+    model = create_model("encoderdecoderconvlstm", forecast_steps=7)
+    hp = model.hparams()
+    assert hp["forecast_steps"] == 7 and hp["class"] == "EncoderDecoderConvLSTM"
