@@ -30,7 +30,10 @@ HIDDEN = 64
 
 
 def main():
+    from satflow_tpu.core.utils import setup_compilation_cache
     from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    setup_compilation_cache()
 
     model = ConvLSTMCore(
         hidden_dim=HIDDEN,

@@ -75,10 +75,20 @@ def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
     """Instantiate a model by registry name.
 
     ``local:<dir>`` loads a model (config + params) from an Orbax checkpoint
-    directory written by ``satflow_tpu.train`` — the analog of the reference's
-    ``hf_hub:`` prefix loading.
+    directory written by ``satflow_tpu.train``; ``hf_hub:<repo>`` downloads a
+    checkpoint directory from the HuggingFace hub first (the reference's
+    prefix-loading surface, gated on huggingface_hub + network).
     """
     source, base = split_model_name(name)
+    if source == "hf_hub":
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise ImportError(
+                "hf_hub: model names need the huggingface_hub package"
+            ) from e
+        base = snapshot_download(repo_id=base)
+        source = "local"
     if source == "local":
         from satflow_tpu.train.checkpoint import load_model_from_checkpoint
 

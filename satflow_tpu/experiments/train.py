@@ -17,6 +17,16 @@ log = get_logger(__name__)
 
 def train(config: Dict[str, Any]) -> Optional[float]:
     import satflow_tpu.models  # noqa: F401 - populate the registry
+    from satflow_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    # debug harness: jax NaN checking (the reference's terminate_on_nan +
+    # detect_anomaly analogs, SURVEY §5.2)
+    if config.get("debug") or (config.get("trainer") or {}).get("detect_anomaly"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     seed_everything(config.get("seed"))
 
@@ -48,6 +58,10 @@ def train(config: Dict[str, Any]) -> Optional[float]:
         logger=loggers,
         seed=config.get("seed", 0),
     )
+
+    if trainer_conf.get("auto_lr_find"):
+        log.info("Running LR range finder (trainer.tune)")
+        trainer.tune(model, datamodule)
 
     log.info("Starting training")
     trainer.fit(model, datamodule)

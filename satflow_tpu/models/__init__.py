@@ -11,6 +11,7 @@ from satflow_tpu.models.base import BaseModel  # noqa: F401
 from satflow_tpu.models.conv_lstm import ConvLSTMCore, EncoderDecoderConvLSTM  # noqa: F401
 from satflow_tpu.models.cloudgan import CloudGAN  # noqa: F401
 from satflow_tpu.models.dgmr import DGMRGenerator, NowcastingGAN  # noqa: F401
+from satflow_tpu.models.hf_perceiver import HuggingFacePerceiver  # noqa: F401
 from satflow_tpu.models.metnet import LitMetNet, MetNetCore  # noqa: F401
 from satflow_tpu.models.pix2pix import Pix2Pix  # noqa: F401
 from satflow_tpu.models.perceiver import Perceiver, PerceiverSatFlowCore  # noqa: F401

@@ -186,13 +186,18 @@ def _rngs(rng: Optional[jax.Array]) -> Optional[Dict[str, jax.Array]]:
 
 
 def expand_frame_metrics(metrics: Dict[str, Any], split: str) -> Dict[str, float]:
-    """Flatten a metrics pytree into the reference's logging key convention."""
+    """Flatten a metrics pytree into the reference's logging key convention.
+
+    ``frame_loss`` vectors become ``{split}/frame_{f}_loss`` (conv_lstm.py:64-69);
+    GAN-prefixed vectors (``g_frame_loss``) become ``{split}/g_frame_{f}_loss``.
+    """
     out: Dict[str, float] = {}
     for k, v in metrics.items():
         v = jax.device_get(v)
-        if k == "frame_loss":
+        if k.endswith("frame_loss") and jnp.ndim(v) == 1:
+            prefix = k[: -len("frame_loss")]
             for f, val in enumerate(v):
-                out[f"{split}/frame_{f}_loss"] = float(val)
+                out[f"{split}/{prefix}frame_{f}_loss"] = float(val)
         elif jnp.ndim(v) == 0:
             out[f"{split}/{k}"] = float(v)
     return out

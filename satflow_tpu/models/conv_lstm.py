@@ -28,7 +28,37 @@ from flax import linen as nn
 
 from satflow_tpu.core.registry import register_model
 from satflow_tpu.models.base import BaseModel
-from satflow_tpu.nn.recurrent import ConvLSTMCell
+from satflow_tpu.nn.recurrent import ConvLSTMCell, InputGateConv, SplitConvLSTMCell
+
+
+class _EncoderStepSplit(nn.Module):
+    """Encoder step on precomputed input gates (split-conv fast path)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, xg_t):
+        s1, s2 = carry
+        s1, h1 = SplitConvLSTMCell(self.features, x_precomputed=True,
+                                   dtype=self.dtype, name="encoder_1")(s1, xg_t)
+        s2, h2 = SplitConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="encoder_2")(s2, h1)
+        return (s1, s2), h2
+
+
+class _DecoderStepSplit(nn.Module):
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        s3, s4, v = carry
+        s3, h3 = SplitConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="decoder_1")(s3, v)
+        s4, h4 = SplitConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="decoder_2")(s4, h3)
+        return (s3, s4, h4), h4
 
 
 class _EncoderStep(nn.Module):
@@ -72,6 +102,15 @@ class ConvLSTMCore(nn.Module):
     out_channels: int = 1
     forecast_steps: int = 48
     conv_type: str = "standard"
+    # Cell formulations (identical math, different op schedules):
+    #  - "concat": one conv over concat([x, h]) per cell (reference layout).
+    #  - "split":  conv_x(x) + conv_h(h); encoder input convs hoisted out of
+    #    the scan as one folded batch conv; no concat buffers.
+    #  - "hybrid": split/hoisted encoder + concat decoder — convs on this TPU
+    #    have a large fixed cost, so the decoder is cheaper with ONE conv per
+    #    cell even including the concat materialization.
+    cell_impl: str = "hybrid"
+    unroll: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -86,29 +125,45 @@ class ConvLSTMCore(nn.Module):
         b, t, h, w, _ = x.shape
         cdtype = self.dtype or x.dtype
         x = x.astype(cdtype)
+        std = self.conv_type == "standard"
+        split_enc = self.cell_impl in ("split", "hybrid") and std
+        split_dec = self.cell_impl == "split" and std
 
-        encoder = nn.scan(
-            _EncoderStep,
+        scan_kwargs = dict(
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )(self.hidden_dim, self.conv_type, self.dtype, name="encoder")
+            unroll=self.unroll,
+        )
         init = (
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
         )
-        (s1, s2), _ = encoder(init, x)
+        if split_enc:
+            # all encoder input-side gate convs in ONE folded batch conv
+            xg = InputGateConv(self.hidden_dim, dtype=self.dtype,
+                               name="encoder_input_gates")(x)
+            encoder = nn.scan(_EncoderStepSplit, **scan_kwargs)(
+                self.hidden_dim, self.dtype, name="encoder"
+            )
+            (s1, s2), _ = encoder(init, xg)
+        else:
+            encoder = nn.scan(_EncoderStep, **scan_kwargs)(
+                self.hidden_dim, self.conv_type, self.dtype, name="encoder"
+            )
+            (s1, s2), _ = encoder(init, x)
         encoder_vector = s2[0]  # final hidden state of layer 2 (conv_lstm.py:184-186)
 
-        decoder = nn.scan(
-            _DecoderStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-            length=steps,
-        )(self.hidden_dim, self.conv_type, self.dtype, name="decoder")
+        dec_scan_kwargs = dict(scan_kwargs, length=steps)
+        if split_dec:
+            decoder = nn.scan(_DecoderStepSplit, **dec_scan_kwargs)(
+                self.hidden_dim, self.dtype, name="decoder"
+            )
+        else:
+            decoder = nn.scan(_DecoderStep, **dec_scan_kwargs)(
+                self.hidden_dim, self.conv_type, self.dtype, name="decoder"
+            )
         dec_init = (
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
@@ -140,10 +195,14 @@ class EncoderDecoderConvLSTM(BaseModel):
         loss: str = "mse",
         pretrained: bool = False,
         conv_type: str = "standard",
+        cell_impl: str = "hybrid",
+        unroll: int = 1,
         dtype: Any = None,
     ):
         self.hidden_dim = hidden_dim
         self.conv_type = conv_type
+        self.cell_impl = cell_impl
+        self.unroll = unroll
         self.dtype = dtype
         super().__init__(
             forecast_steps=forecast_steps,
@@ -161,6 +220,8 @@ class EncoderDecoderConvLSTM(BaseModel):
             out_channels=self.output_channels,
             forecast_steps=self.forecast_steps,
             conv_type=self.conv_type,
+            cell_impl=self.cell_impl,
+            unroll=self.unroll,
             dtype=self.dtype,
         )
 

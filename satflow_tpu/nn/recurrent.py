@@ -80,6 +80,73 @@ class ConvLSTMCell(nn.Module):
         return zeros_carry(batch, h, w, features, 2, dtype)
 
 
+class SplitConvLSTMCell(nn.Module):
+    """ConvLSTM cell with split input/hidden gate convs (no concat).
+
+    Mathematically identical to :class:`ConvLSTMCell` — a conv over
+    ``concat([x, h])`` equals ``conv_x(x) + conv_h(h)`` — but TPU-friendlier:
+    the (B, H, W, Cx+Ch) concat buffer is never materialized (saves a full
+    HBM round-trip per step), the two convs keep clean channel tilings, and
+    the input conv can be hoisted out of the scan entirely when the step
+    inputs are known upfront (pass ``x_precomputed=True`` with
+    ``precompute_input_gates``-produced activations — the encoder path of
+    ConvLSTMCore).
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    fused_gates: bool = True
+    x_precomputed: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jax.Array, jax.Array], x: jax.Array):
+        h, c = carry
+        ks = (self.kernel_size, self.kernel_size)
+        if self.x_precomputed:
+            xg = x  # already (B, H, W, 4C) from precompute_input_gates
+        else:
+            xg = nn.Conv(4 * self.features, ks, padding="SAME",
+                         use_bias=self.use_bias, dtype=self.dtype,
+                         name="x_gates")(x)
+        hg = nn.Conv(4 * self.features, ks, padding="SAME", use_bias=False,
+                     dtype=self.dtype, name="h_gates")(h)
+        gates = xg + hg
+        if self.fused_gates:
+            from satflow_tpu.ops.pallas.fused_lstm import fused_lstm_gates
+
+            h_next, c_next = fused_lstm_gates(gates, c.astype(gates.dtype))
+        else:
+            i, f, o, g = jnp.split(gates, 4, axis=-1)
+            c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+            h_next = nn.sigmoid(o) * jnp.tanh(c_next)
+        return (h_next, c_next), h_next
+
+    @staticmethod
+    def init_carry(batch: int, h: int, w: int, features: int, dtype=jnp.float32):
+        return zeros_carry(batch, h, w, features, 2, dtype)
+
+
+class InputGateConv(nn.Module):
+    """The input-side gate conv of SplitConvLSTMCell, applied to a whole
+    (B, T, H, W, C) sequence in one folded batch (hoisted out of the scan)."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        b, t = x_seq.shape[:2]
+        frames = x_seq.reshape(b * t, *x_seq.shape[2:])
+        xg = nn.Conv(4 * self.features,
+                     (self.kernel_size, self.kernel_size), padding="SAME",
+                     use_bias=self.use_bias, dtype=self.dtype, name="x_gates")(frames)
+        return xg.reshape(b, t, *xg.shape[1:])
+
+
 class ConvGRUCell(nn.Module):
     """Convolutional GRU cell (NHWC), the DGMR generator recurrence.
 

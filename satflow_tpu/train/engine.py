@@ -46,6 +46,7 @@ class Trainer:
         max_steps: Optional[int] = None,
         limit_train_batches: Optional[float] = None,
         limit_val_batches: Optional[float] = None,
+        overfit_batches: int = 0,
         fast_dev_run: bool = False,
         accumulate_grad_batches: int = 1,
         gradient_clip_val: float = 0.0,
@@ -71,6 +72,7 @@ class Trainer:
         self.max_steps = max_steps
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
+        self.overfit_batches = overfit_batches
         self.fast_dev_run = fast_dev_run
         self.accumulate_grad_batches = accumulate_grad_batches
         self.gradient_clip_val = gradient_clip_val
@@ -112,6 +114,16 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         self.model = model
         train_loader = datamodule.train_dataloader()
+        if self.overfit_batches:
+            # debug harness: reuse the same first-N batches for train AND val
+            # (the reference trainer's overfit_batches knob, SURVEY §4)
+            cached = []
+            for i, b in enumerate(train_loader):
+                cached.append(b)
+                if i + 1 >= self.overfit_batches:
+                    break
+            train_loader = cached
+            datamodule = _OverfitDataModule(cached)
         self._build_state(model, rng, train_loader)
 
         if model.is_gan:
@@ -287,3 +299,69 @@ class Trainer:
         if isinstance(limit, float) and limit <= 1.0:
             return max(1, int(n * limit))
         return min(n, int(limit))
+
+    def tune(self, model, datamodule, num_steps: int = 30,
+             min_lr: float = 1e-6, max_lr: float = 1.0) -> float:
+        """LR range finder (the reference's trainer.tune auto_lr_find,
+        train.py:81-83): sweep LR exponentially over a few steps and return
+        the LR one decade below the loss blow-up point; sets model.lr."""
+        import math as _math
+
+        import numpy as _np
+        import optax
+
+        from satflow_tpu.train.steps import make_train_step
+        from satflow_tpu.train.state import TrainState
+
+        rng = jax.random.PRNGKey(self.seed)
+        loader = datamodule.train_dataloader()
+        first = next(iter(loader))
+        variables = model.init_variables(rng, first)
+        params, model_state = model.split_variables(variables)
+        schedule = optax.exponential_decay(
+            min_lr, transition_steps=num_steps,
+            decay_rate=max_lr / min_lr,  # grows: rate > 1
+        )
+        state = TrainState.create(params, model_state, optax.sgd(schedule))
+        step = make_train_step(model)
+        losses, lrs = [], []
+        it = iter(loader)
+        for i in range(num_steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(loader)
+                batch = next(it)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            loss = float(jax.device_get(metrics["loss"]))
+            if not _math.isfinite(loss):
+                break
+            losses.append(loss)
+            lrs.append(float(schedule(i)))
+        if len(losses) < 3:
+            return model.lr
+        # steepest descent point, one decade of headroom
+        grads = _np.gradient(_np.asarray(losses))
+        best = int(_np.argmin(grads))
+        suggestion = max(lrs[best] / 10.0, min_lr)
+        log.info("tune: suggested lr %.2e", suggestion)
+        model.lr = suggestion
+        return suggestion
+
+
+class _OverfitDataModule:
+    def __init__(self, batches):
+        self._batches = list(batches)
+
+    def _loader(self):
+        return self._batches
+
+    def train_dataloader(self):
+        return self._loader()
+
+    def val_dataloader(self):
+        return self._loader()
+
+    def test_dataloader(self):
+        return self._loader()

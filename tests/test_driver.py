@@ -1,0 +1,28 @@
+"""Experiment-driver tests: train(config) end-to-end wiring."""
+
+import os
+
+import numpy as np
+
+from satflow_tpu.core.config import compose, default_config_dir
+from satflow_tpu.core.utils import extras
+from satflow_tpu.experiments.train import train
+
+
+def test_train_driver_end_to_end(tmp_path, monkeypatch):
+    """Full driver path: compose → instantiate → fit → test → metric."""
+    monkeypatch.chdir(tmp_path)
+    cfg = compose(
+        default_config_dir(),
+        overrides=[
+            "model.hidden_dim=4", "model.forecast_steps=2",
+            "model.out_channels=12", "model.input_channels=12",
+            "datamodule.history_minutes=15", "datamodule.forecast_minutes=10",
+            "trainer=debug", "trainer.max_epochs=1", "~logger",
+        ],
+    )
+    cfg = extras(cfg)
+    result = train(cfg)
+    assert result is not None and np.isfinite(result)  # optimized_metric val/loss
+    assert os.path.exists("checkpoints/best")
+    assert os.path.exists("artifacts/final")

@@ -182,6 +182,51 @@ def test_pixelcnn_causality(rng):
     )
 
 
+def test_split_cell_matches_concat_cell(rng):
+    """The split-conv fast path must equal the concat formulation exactly
+    (conv over concat([x,h]) == conv_x(x) + conv_h(h))."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    x = jax.random.uniform(rng, (1, 3, 8, 8, 4))
+    concat_core = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=2,
+                               cell_impl="concat")
+    split_core = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=2,
+                              cell_impl="split")
+    cv = concat_core.init(rng, x)
+    sv = split_core.init(rng, x)
+
+    # map concat params → split params
+    import flax
+
+    sp = flax.core.unfreeze(jax.tree_util.tree_map(lambda a: a, sv))["params"]
+    cp = cv["params"]
+
+    def split_kernel(kernel, cin):
+        return kernel[:, :, :cin], kernel[:, :, cin:]
+
+    k = cp["encoder"]["encoder_1"]["gates"]["kernel"]
+    kx, kh = split_kernel(k, 4)
+    sp["encoder_input_gates"]["x_gates"]["kernel"] = kx
+    sp["encoder_input_gates"]["x_gates"]["bias"] = cp["encoder"]["encoder_1"]["gates"]["bias"]
+    sp["encoder"]["encoder_1"]["h_gates"]["kernel"] = kh
+    for src, dst in (("encoder_2", ("encoder", "encoder_2")),
+                     ("decoder_1", ("decoder", "decoder_1")),
+                     ("decoder_2", ("decoder", "decoder_2"))):
+        parent = "encoder" if src.startswith("enc") else "decoder"
+        ck = cp[parent][src]["gates"]["kernel"]
+        kx, kh = split_kernel(ck, 8)
+        sp[parent][src]["x_gates"]["kernel"] = kx
+        sp[parent][src]["x_gates"]["bias"] = cp[parent][src]["gates"]["bias"]
+        sp[parent][src]["h_gates"]["kernel"] = kh
+    sp["head"] = cp["head"]
+
+    out_concat = concat_core.apply(cv, x)
+    out_split = split_core.apply({"params": sp}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_concat), np.asarray(out_split), atol=2e-5
+    )
+
+
 def test_hparams_roundtrip():
     model = create_model("encoderdecoderconvlstm", forecast_steps=7)
     hp = model.hparams()

@@ -102,6 +102,92 @@ def test_early_stopping():
     assert trainer.global_step < 20 * 6
 
 
+def test_gan_fit_through_engine():
+    """Two-optimizer GAN training through Trainer.fit (reference cloudgan flow)."""
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2,
+        channels_per_timestep=2, num_filters=4, features_start=4,
+        unet_depth=2, discriminator_model="enhanced",
+    )
+
+    class DM(AdvectionDataModule):
+        def _dataset(self, split, n):
+            return AdvectionDataset(
+                batch_size=2, width=16, height=16, number_sat_channels=2,
+                history_minutes=15, forecast_minutes=10, length=2, seed=0,
+            )
+
+    trainer = Trainer(max_epochs=1, log_every_n_steps=1, seed=0)
+    metrics = trainer.fit(model, DM())
+    assert np.isfinite(metrics["train/g_loss"])
+    assert np.isfinite(metrics["train/d_loss"])
+    assert "val/g_loss" in metrics
+
+
+def test_bf16_precision_flag():
+    """trainer precision bf16 swaps the module's compute dtype."""
+    import jax.numpy as jnp
+
+    model = _small_model()
+    dm = AdvectionDataModule()
+    trainer = Trainer(fast_dev_run=True, precision="bf16")
+    metrics = trainer.fit(model, dm)
+    assert model.dtype == jnp.bfloat16
+    assert np.isfinite(metrics["train/loss"])
+
+
+def test_overfit_batches_uses_same_data():
+    model = _small_model()
+    dm = AdvectionDataModule()
+    trainer = Trainer(max_epochs=2, overfit_batches=1, log_every_n_steps=1, seed=0)
+    metrics = trainer.fit(model, dm)
+    assert trainer.global_step == 2  # one cached batch × two epochs
+    assert np.isfinite(metrics["val/loss"])
+
+
+def test_tune_lr_finder():
+    model = _small_model()
+    dm = AdvectionDataModule()
+    trainer = Trainer(seed=0)
+    old_lr = model.lr
+    suggestion = trainer.tune(model, dm, num_steps=8)
+    assert suggestion > 0 and model.lr == suggestion
+    assert suggestion != old_lr or True  # may coincide; just must be finite
+    assert np.isfinite(suggestion)
+
+
+def test_sweep_runs_trials(tmp_path):
+    from satflow_tpu.experiments.sweep import sweep
+
+    config = {
+        "seed": 0,
+        "sweep_dir": str(tmp_path),
+        "datamodule": {
+            "_target_": "tests.test_train.AdvectionDataModule",
+        },
+        "model": {
+            "_target_": "satflow_tpu.models.conv_lstm.EncoderDecoderConvLSTM",
+            "input_channels": 2, "out_channels": 2, "forecast_steps": 2,
+            "hidden_dim": 4,
+        },
+        "trainer": {"fast_dev_run": True},
+        "optimized_metric": "val/loss",
+        "hparams_search": {
+            "n_trials": 2,
+            "optimized_metric": "val/loss",
+            "search_space": {
+                "model.lr": {"type": "loguniform", "low": 1e-4, "high": 1e-2},
+            },
+        },
+    }
+    best = sweep(config)
+    assert np.isfinite(best)
+    import json, os
+
+    results = json.load(open(os.path.join(str(tmp_path), "results.json")))
+    assert len(results["trials"]) == 2
+
+
 def test_grad_accumulation_and_clipping():
     model = _small_model()
     dm = AdvectionDataModule()
