@@ -39,6 +39,8 @@ def main():
         hidden_dim=HIDDEN,
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
+        cell_impl="hybrid",
+        unroll=4,  # measured: ~10% over unroll=1 on v5e
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)

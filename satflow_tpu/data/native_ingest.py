@@ -127,12 +127,26 @@ def write_sfb(path: str, batch: Dict[str, np.ndarray]) -> None:
 
 
 class NativeSfbLoader:
-    """Iterate SFB files decoded by the native thread pool, in file order."""
+    """Iterate SFB files decoded by the native thread pool, in file order.
 
-    def __init__(self, paths: Sequence[str], num_threads: int = 4, capacity: int = 8):
+    ``zero_copy=True`` yields numpy arrays that VIEW the native ring buffer —
+    no per-batch copy. Such arrays are valid only until the next iteration
+    step (the previous batch is released when the next is requested), which
+    matches the training-loop pattern: ``jax.device_put`` the batch, then ask
+    for the next one.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        num_threads: int = 4,
+        capacity: int = 8,
+        zero_copy: bool = False,
+    ):
         self.paths = list(paths)
         self.num_threads = num_threads
         self.capacity = capacity
+        self.zero_copy = zero_copy
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -143,26 +157,36 @@ class NativeSfbLoader:
             *[p.encode("utf-8") for p in self.paths]
         )
         loader = lib.sfb_open(c_paths, len(self.paths), self.num_threads, self.capacity)
+        pending = None
         try:
             while True:
                 batch_ptr = lib.sfb_next(loader)
+                if pending is not None:  # release AFTER the consumer moved on
+                    lib.sfb_release(pending)
+                    pending = None
                 if not batch_ptr:
                     return
-                try:
-                    err = lib.sfb_batch_error(batch_ptr)
-                    if err:
-                        raise IOError(
-                            f"native ingest error on batch "
-                            f"{lib.sfb_batch_index(batch_ptr)}: {err.decode()}"
-                        )
-                    yield self._decode(lib, batch_ptr)
-                finally:
+                err = lib.sfb_batch_error(batch_ptr)
+                if err:
                     lib.sfb_release(batch_ptr)
+                    raise IOError(
+                        f"native ingest error: {err.decode()}"
+                    )
+                if self.zero_copy:
+                    pending = batch_ptr
+                    yield self._decode(lib, batch_ptr, copy=False)
+                else:
+                    try:
+                        yield self._decode(lib, batch_ptr, copy=True)
+                    finally:
+                        lib.sfb_release(batch_ptr)
         finally:
+            if pending is not None:
+                lib.sfb_release(pending)
             lib.sfb_close(loader)
 
     @staticmethod
-    def _decode(lib, batch_ptr) -> Dict[str, np.ndarray]:
+    def _decode(lib, batch_ptr, copy: bool = True) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
         for i in range(lib.sfb_entry_count(batch_ptr)):
             name = lib.sfb_entry_name(batch_ptr, i).decode()
@@ -172,8 +196,14 @@ class NativeSfbLoader:
             lib.sfb_entry_dims(batch_ptr, i, dims)
             nbytes = ctypes.c_uint64()
             ptr = lib.sfb_entry_data(batch_ptr, i, ctypes.byref(nbytes))
-            buf = ctypes.string_at(ptr, nbytes.value)  # copy out of the ring
-            out[name] = np.frombuffer(buf, dtype=dtype).reshape(tuple(dims))
+            if copy:
+                buf = ctypes.string_at(ptr, nbytes.value)
+                out[name] = np.frombuffer(buf, dtype=dtype).reshape(tuple(dims))
+            else:
+                raw = (ctypes.c_uint8 * nbytes.value).from_address(ptr)
+                arr = np.frombuffer(raw, dtype=dtype).reshape(tuple(dims))
+                arr.flags.writeable = False
+                out[name] = arr
         return out
 
 

@@ -27,11 +27,19 @@ from flax import linen as nn
 
 
 def _axis_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Multi-head attention along the -2 axis of (..., heads, L, d) tensors."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("...qd,...kd->...qk", q * scale, k)
-    weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("...qk,...kd->...qd", weights, v)
+    """Multi-head attention along the -2 axis of (..., heads, L, d) tensors.
+
+    Batch dims fold into one axis and route through the Pallas fused kernel on
+    TPU (scores never touch HBM); exact XLA einsum fallback elsewhere.
+    """
+    from satflow_tpu.ops.pallas.axial_attention import axial_attention
+
+    lead = q.shape[:-2]
+    L, d = q.shape[-2:]
+    out = axial_attention(
+        q.reshape(-1, L, d), k.reshape(-1, k.shape[-2], d), v.reshape(-1, v.shape[-2], d)
+    )
+    return out.reshape(*lead, L, d)
 
 
 class AxialSelfAttention(nn.Module):

@@ -42,6 +42,7 @@ def main(argv: Optional[List[str]] = None) -> Optional[float]:
 
     config = compose(default_config_dir(), "config.yaml", argv)
     config = extras(config)
+    _enter_run_dir(config)
     if config.get("print_config", True):
         print_config(config)
 
@@ -53,6 +54,25 @@ def main(argv: Optional[List[str]] = None) -> Optional[float]:
     from satflow_tpu.experiments.train import train
 
     return train(config)
+
+
+def _enter_run_dir(config) -> None:
+    """Chdir into a per-run output dir (the reference's hydra run-dir hijack,
+    configs/hydra/default.yaml:2-3: logs/runs/<date>/<time>). Disable with
+    work_dir=null."""
+    import datetime
+    import os
+
+    work_dir = config.get("work_dir")
+    if not work_dir:
+        return
+    now = datetime.datetime.now()
+    run_dir = os.path.join(
+        work_dir, now.strftime("%Y-%m-%d"), now.strftime("%H-%M-%S")
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    log.info("Run dir: %s", os.path.abspath(run_dir))
+    os.chdir(run_dir)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,7 @@ class Trainer:
         terminate_on_nan: bool = False,
         profiler: Optional[str] = None,
         profile_dir: str = "logs/profile",
+        zero_sharding: bool = False,
         callbacks: Optional[List] = None,
         logger: Optional[List[BaseLogger]] = None,
         seed: int = 0,
@@ -82,6 +83,7 @@ class Trainer:
         self.terminate_on_nan = terminate_on_nan
         self.profiler = profiler
         self.profile_dir = profile_dir
+        self.zero_sharding = zero_sharding
         self.callbacks = list(callbacks or [])
         self.history = HistoryLogger()
         self.loggers: List[BaseLogger] = [self.history] + list(logger or [])
@@ -200,6 +202,10 @@ class Trainer:
 
     def validate(self, model=None, datamodule=None) -> Dict[str, float]:
         model = model or self.model
+        if self.state is None:
+            self._build_state(model, jax.random.PRNGKey(self.seed),
+                              datamodule.val_dataloader())
+            self.model = model
         eval_step = make_gan_eval_step(model) if model.is_gan else make_eval_step(model)
         metrics = self._run_eval(
             eval_step, datamodule.val_dataloader(), "val", jax.random.PRNGKey(self.seed)
@@ -249,6 +255,11 @@ class Trainer:
             tx = self._wrap_tx(model.make_optimizer())
             self.state = TrainState.create(params, model_state, tx)
         self._lr_schedule = getattr(model, "lr_schedule", None)
+
+        if self.zero_sharding and len(jax.devices()) > 1:
+            from satflow_tpu.parallel.zero import apply_zero_sharding
+
+            self.state = apply_zero_sharding(self.state)
 
         if self.resume_from_checkpoint:
             from satflow_tpu.train.checkpoint import restore_checkpoint

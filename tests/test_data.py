@@ -105,6 +105,15 @@ def test_sfb_native_store_and_streaming(tmp_path):
         )
     assert i == 2
 
+    # zero-copy path: arrays view the native ring; valid until next step
+    from satflow_tpu.data.native_ingest import NativeSfbLoader
+
+    paths = [f"{path}/batch_{j}.sfb" for j in range(3)]
+    for j, batch in enumerate(NativeSfbLoader(paths, 2, zero_copy=True)):
+        arr = batch[consts.SATELLITE_DATA]
+        assert not arr.flags.writeable
+        np.testing.assert_array_equal(arr, ref[j][consts.SATELLITE_DATA])
+
 
 def test_prefetcher_orders_and_completes():
     from satflow_tpu.data.datamodule import Prefetcher

@@ -56,6 +56,25 @@ def test_dp_train_step_runs_sharded(mesh, rng):
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_zero_sharded_fit(mesh):
+    """Trainer with zero_sharding: opt state scattered, training still works."""
+    from tests.test_train import AdvectionDataModule, _small_model
+    from satflow_tpu.train.engine import Trainer
+
+    model = _small_model()
+    trainer = Trainer(fast_dev_run=True, zero_sharding=True, seed=0)
+    metrics = trainer.fit(model, AdvectionDataModule())
+    assert np.isfinite(metrics["train/loss"])
+    # at least one opt-state leaf is actually sharded over `data`
+    leaves = jax.tree_util.tree_leaves(trainer.state.opt_state)
+    assert any(
+        getattr(x, "sharding", None) is not None
+        and getattr(x.sharding, "spec", ()) != ()
+        and "data" in str(x.sharding.spec)
+        for x in leaves
+    )
+
+
 def test_dp_matches_single_device(mesh, rng):
     """Sharded-step loss equals the single-device loss on the same batch."""
     model = create_model(
