@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 A100_REFERENCE_FPS = 200.0  # estimated reference impl throughput (see docstring)
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLIER = 5.0
 
 HISTORY_STEPS = 7  # 30 min history + now
 FORECAST_STEPS = 24
@@ -73,7 +73,7 @@ def main():
         "metric": "frames/sec/chip, 24-step 256x256x12ch ConvLSTM rollout (bf16)",
         "value": round(frames_per_sec, 2),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / (TARGET_MULTIPLier * A100_REFERENCE_FPS), 4),
+        "vs_baseline": round(frames_per_sec / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 4),
     }
     print(json.dumps(result))
 
