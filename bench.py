@@ -25,7 +25,7 @@ HISTORY_STEPS = 7  # 30 min history + now
 FORECAST_STEPS = 24
 SIZE = 256
 CHANNELS = 12
-BATCH = 8
+BATCH = 16  # measured optimum on v5e (b8: 640, b16: 656, b32: 486 f/s)
 HIDDEN = 64
 
 
@@ -40,7 +40,7 @@ def main():
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
         cell_impl="hybrid",
-        unroll=4,  # measured: ~10% over unroll=1 on v5e
+        unroll=8,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)

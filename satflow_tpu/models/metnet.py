@@ -181,6 +181,15 @@ class LitMetNet(BaseModel):
         self.warmup_steps = warmup_steps
         self.total_steps = total_steps
         self.dtype = dtype
+        # SSIM-family criteria are built channel-aware with nonnegative +
+        # range conversion, as the reference does (pl_metnet.py:43-45).
+        if isinstance(loss, str) and "ssim" in loss:
+            from satflow_tpu.nn.losses import get_loss as _get_loss
+
+            criterion = _get_loss(loss, convert_range_flag=True, nonnegative=True,
+                                  channel=output_channels)
+            self._loss_name = loss
+            loss = criterion
         super().__init__(
             forecast_steps=forecast_steps,
             lr=lr,
@@ -190,6 +199,8 @@ class LitMetNet(BaseModel):
             output_channels=output_channels,
             pretrained=pretrained,
         )
+        if hasattr(self, "_loss_name"):
+            self.loss_name = self._loss_name  # keep the registry name for ckpts
 
     def build_module(self) -> nn.Module:
         return MetNetCore(

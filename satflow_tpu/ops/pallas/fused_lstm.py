@@ -86,7 +86,7 @@ def _fused_pallas(gates: jax.Array, c: jax.Array) -> Tuple[jax.Array, jax.Array]
     # bf16 ≈ 2 MB gates + 3×0.5 MB state per block — comfortably double-
     # buffered in 16 MB VMEM (profiled: 512-row tiles ran at ~47% of HBM
     # bandwidth; 4K rows approaches the streaming limit).
-    row_tile = min(rows, 4096)
+    row_tile = min(rows, 2048)  # 4096 exceeds the 16MB scoped-vmem limit
     grid = (pl.cdiv(rows, row_tile),)
     h2, c_next2 = pl.pallas_call(
         _fused_kernel,
