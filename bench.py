@@ -39,7 +39,7 @@ def main():
         hidden_dim=HIDDEN,
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
-        cell_impl="hybrid",
+        cell_impl="fused",  # fully fused Pallas cell: 656 -> 880 f/s
         unroll=8,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
         dtype=jnp.bfloat16,
     )

@@ -28,7 +28,40 @@ from flax import linen as nn
 
 from satflow_tpu.core.registry import register_model
 from satflow_tpu.models.base import BaseModel
-from satflow_tpu.nn.recurrent import ConvLSTMCell, InputGateConv, SplitConvLSTMCell
+from satflow_tpu.nn.recurrent import (
+    ConvLSTMCell,
+    FusedConvLSTMCell,
+    InputGateConv,
+    SplitConvLSTMCell,
+)
+
+
+class _EncoderStepFused(nn.Module):
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, x_t):
+        s1, s2 = carry
+        s1, h1 = FusedConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="encoder_1")(s1, x_t)
+        s2, h2 = FusedConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="encoder_2")(s2, h1)
+        return (s1, s2), h2
+
+
+class _DecoderStepFused(nn.Module):
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        s3, s4, v = carry
+        s3, h3 = FusedConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="decoder_1")(s3, v)
+        s4, h4 = FusedConvLSTMCell(self.features, dtype=self.dtype,
+                                   name="decoder_2")(s4, h3)
+        return (s3, s4, h4), h4
 
 
 class _EncoderStepSplit(nn.Module):
@@ -106,10 +139,11 @@ class ConvLSTMCore(nn.Module):
     #  - "concat": one conv over concat([x, h]) per cell (reference layout).
     #  - "split":  conv_x(x) + conv_h(h); encoder input convs hoisted out of
     #    the scan as one folded batch conv; no concat buffers.
-    #  - "hybrid": split/hoisted encoder + concat decoder — convs on this TPU
-    #    have a large fixed cost, so the decoder is cheaper with ONE conv per
-    #    cell even including the concat materialization.
-    cell_impl: str = "hybrid"
+    #  - "hybrid": split/hoisted encoder + concat decoder (one conv per cell).
+    #  - "fused": every cell runs as ONE Pallas kernel (both convs + gates +
+    #    state in VMEM, ops/pallas/fused_convlstm_step.py) — measured 656 →
+    #    880 frames/s on the v5e rollout bench; exact XLA fallback off-TPU.
+    cell_impl: str = "fused"
     unroll: int = 1
     dtype: Any = None
 
@@ -126,6 +160,7 @@ class ConvLSTMCore(nn.Module):
         cdtype = self.dtype or x.dtype
         x = x.astype(cdtype)
         std = self.conv_type == "standard"
+        fused = self.cell_impl == "fused" and std
         split_enc = self.cell_impl in ("split", "hybrid") and std
         split_dec = self.cell_impl == "split" and std
 
@@ -140,7 +175,12 @@ class ConvLSTMCore(nn.Module):
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
         )
-        if split_enc:
+        if fused:
+            encoder = nn.scan(_EncoderStepFused, **scan_kwargs)(
+                self.hidden_dim, self.dtype, name="encoder"
+            )
+            (s1, s2), _ = encoder(init, x)
+        elif split_enc:
             # all encoder input-side gate convs in ONE folded batch conv
             xg = InputGateConv(self.hidden_dim, dtype=self.dtype,
                                name="encoder_input_gates")(x)
@@ -156,7 +196,11 @@ class ConvLSTMCore(nn.Module):
         encoder_vector = s2[0]  # final hidden state of layer 2 (conv_lstm.py:184-186)
 
         dec_scan_kwargs = dict(scan_kwargs, length=steps)
-        if split_dec:
+        if fused:
+            decoder = nn.scan(_DecoderStepFused, **dec_scan_kwargs)(
+                self.hidden_dim, self.dtype, name="decoder"
+            )
+        elif split_dec:
             decoder = nn.scan(_DecoderStepSplit, **dec_scan_kwargs)(
                 self.hidden_dim, self.dtype, name="decoder"
             )
@@ -195,7 +239,7 @@ class EncoderDecoderConvLSTM(BaseModel):
         loss: str = "mse",
         pretrained: bool = False,
         conv_type: str = "standard",
-        cell_impl: str = "hybrid",
+        cell_impl: str = "fused",
         unroll: int = 1,
         dtype: Any = None,
     ):

@@ -128,6 +128,51 @@ class SplitConvLSTMCell(nn.Module):
         return zeros_carry(batch, h, w, features, 2, dtype)
 
 
+class FusedConvLSTMCell(nn.Module):
+    """ConvLSTM cell running the whole step in one Pallas kernel on TPU.
+
+    Owns the same parameter geometry as :class:`SplitConvLSTMCell`
+    (x_gates/h_gates 3×3 convs + bias) but dispatches to
+    ``fused_convlstm_step`` — both convs, the gate math and the state update
+    execute as one VMEM-resident kernel (exact XLA fallback elsewhere).
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jax.Array, jax.Array], x: jax.Array):
+        from satflow_tpu.ops.pallas.fused_convlstm_step import fused_convlstm_step
+
+        h, c = carry
+        k = self.kernel_size
+        wx = self.param(
+            "x_gates_kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], 4 * self.features),
+        )
+        wh = self.param(
+            "h_gates_kernel", nn.initializers.lecun_normal(),
+            (k, k, self.features, 4 * self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (4 * self.features,))
+            if self.use_bias
+            else jnp.zeros((4 * self.features,), x.dtype)
+        )
+        cdtype = self.dtype or x.dtype
+        h_next, c_next = fused_convlstm_step(
+            x.astype(cdtype), h.astype(cdtype), c.astype(cdtype),
+            wx.astype(cdtype), wh.astype(cdtype), b.astype(cdtype),
+        )
+        return (h_next, c_next), h_next
+
+    @staticmethod
+    def init_carry(batch: int, h: int, w: int, features: int, dtype=jnp.float32):
+        return zeros_carry(batch, h, w, features, 2, dtype)
+
+
 class InputGateConv(nn.Module):
     """The input-side gate conv of SplitConvLSTMCell, applied to a whole
     (B, T, H, W, C) sequence in one folded batch (hoisted out of the scan)."""

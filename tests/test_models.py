@@ -227,6 +227,39 @@ def test_split_cell_matches_concat_cell(rng):
     )
 
 
+def test_fused_cell_matches_concat_cell(rng):
+    """The fully-fused (Pallas) formulation == concat formulation exactly
+    (on CPU the fused path runs its XLA fallback with the same param layout)."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    x = jax.random.uniform(rng, (1, 3, 8, 8, 4))
+    concat_core = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=2,
+                               cell_impl="concat")
+    fused_core = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=2,
+                              cell_impl="fused")
+    cv = concat_core.init(rng, x)
+    fv = fused_core.init(rng, x)
+
+    import flax
+
+    fp = flax.core.unfreeze(jax.tree_util.tree_map(lambda a: a, fv))["params"]
+    cp = cv["params"]
+    for parent in ("encoder", "decoder"):
+        for name in (f"{parent}_1", f"{parent}_2"):
+            cin = 4 if name == "encoder_1" else 8
+            k = cp[parent][name]["gates"]["kernel"]
+            fp[parent][name]["x_gates_kernel"] = k[:, :, :cin]
+            fp[parent][name]["h_gates_kernel"] = k[:, :, cin:]
+            fp[parent][name]["bias"] = cp[parent][name]["gates"]["bias"]
+    fp["head"] = cp["head"]
+
+    out_concat = concat_core.apply(cv, x)
+    out_fused = fused_core.apply({"params": fp}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_concat), np.asarray(out_fused), atol=2e-5
+    )
+
+
 def test_hparams_roundtrip():
     model = create_model("encoderdecoderconvlstm", forecast_steps=7)
     hp = model.hparams()
