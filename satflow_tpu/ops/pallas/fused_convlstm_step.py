@@ -70,9 +70,10 @@ def _step_ref(x, h, c, wx, wh, b):
 def _make_kernel(block_h: int, width: int):
     def kernel(
         x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
-        wx_ref, wh_ref, b_ref, hout_ref, cout_ref,
+        w_ref, b_ref, hout_ref, cout_ref,
     ):
-        # *_prev/cur/nxt: (1, block_h, W+2, C); wx: (3, 3Cx, 4Ch); wh: (3, 3Ch, 4Ch)
+        # *_prev/cur/nxt: (1, block_h, W+2, C); w: (3, 3Cx+3Ch, 4Ch) — per
+        # kernel row, x taps then h taps along the contraction axis
         r = pl.program_id(1)
         n_r = pl.num_programs(1)
         ch = cout_ref.shape[-1]
@@ -85,23 +86,24 @@ def _make_kernel(block_h: int, width: int):
             bot = jnp.where(r < n_r - 1, bot, jnp.zeros_like(bot))
             return jnp.concatenate([top, cur[0], bot], axis=0)  # (bh+2, W+2, C)
 
-        def conv_acc(acc, s, w_ref):
+        def windows(s):
             cin = s.shape[-1]
-            for dy in range(3):
-                # fold the 3 dx taps into the contraction: (rows, 3*Cin)
-                win = jnp.concatenate(
-                    [
-                        s[dy : dy + block_h, dx : dx + width, :].reshape(rows, cin)
-                        for dx in range(3)
-                    ],
-                    axis=1,
-                )
-                acc += jnp.dot(win, w_ref[dy], preferred_element_type=jnp.float32)
-            return acc
+            return [
+                [
+                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, cin)
+                    for dx in range(3)
+                ]
+                for dy in range(3)
+            ]
 
+        xw = windows(slab(x_prev, x_cur, x_nxt))
+        hw = windows(slab(h_prev, h_cur, h_nxt))
         acc = jnp.zeros((rows, 4 * ch), jnp.float32)
-        acc = conv_acc(acc, slab(x_prev, x_cur, x_nxt), wx_ref)
-        acc = conv_acc(acc, slab(h_prev, h_cur, h_nxt), wh_ref)
+        for dy in range(3):
+            # one matmul per kernel row: x and h taps share the contraction
+            # (K = 3·Cx + 3·Ch — full MXU depth, half the matmul launches)
+            win = jnp.concatenate(xw[dy] + hw[dy], axis=1)
+            acc += jnp.dot(win, w_ref[dy], preferred_element_type=jnp.float32)
         acc += b_ref[0].astype(jnp.float32)
 
         c = c_ref[0].astype(jnp.float32).reshape(rows, ch)
@@ -122,10 +124,12 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
     ch = c.shape[-1]
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))  # W halo via cheap pad
     hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    # weight layout (3, 3*Cin, 4Ch): [dy] rows, (dx, cin) contraction order —
-    # matches the kernel's dx-concat im2col ordering.
-    wx3 = wx.reshape(3, 3 * cx, 4 * ch)
-    wh3 = wh.reshape(3, 3 * ch, 4 * ch)
+    # weight layout (3, 3Cx+3Ch, 4Ch): per kernel row dy, the contraction is
+    # (x dx-taps then h dx-taps) × cin — matches the kernel's im2col ordering;
+    # concatenated here once instead of per grid cell.
+    w3 = jnp.concatenate(
+        [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
+    )
     b2 = b.reshape(1, 4 * ch)
 
     n_blocks = height // block_h
@@ -156,8 +160,7 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
             row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
             row_spec(ch, -1), row_spec(ch, 0), row_spec(ch, +1),
             out_spec,  # c uses the output geometry
-            full_spec((3, 3 * cx, 4 * ch)),
-            full_spec((3, 3 * ch, 4 * ch)),
+            full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
             full_spec((1, 4 * ch)),
         ],
         out_specs=(out_spec, out_spec),
@@ -166,7 +169,7 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
         ),
         interpret=_INTERPRET,
-    )(xp, xp, xp, hp, hp, hp, c, wx3, wh3, b2)
+    )(xp, xp, xp, hp, hp, hp, c, w3, b2)
     return h_next, c_next
 
 
