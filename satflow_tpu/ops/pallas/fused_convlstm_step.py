@@ -168,6 +168,9 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_INTERPRET,
     )(xp, xp, xp, hp, hp, hp, c, w3, b2)
     return h_next, c_next
