@@ -94,10 +94,6 @@ def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
 
         return load_model_from_checkpoint(base)
     cls = _model_entrypoint(base.lower())
-    if hasattr(cls, "from_config") and not kwargs.get("_skip_from_config", False):
-        # Mirror the reference: create_model(name) with no kwargs uses the model's
-        # config-driven constructor defaults.
-        pass
     model = cls(**kwargs)
     if pretrained and checkpoint_path:
         from satflow_tpu.train.checkpoint import restore_params_into

@@ -19,6 +19,13 @@ from satflow_tpu.data.datasets import SatFlowDataset
 from satflow_tpu.data.fake import FakeDataset
 
 
+class _WorkerError:
+    """Exception captured in a reader thread, re-raised at the consumer."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class Prefetcher:
     """Iterate a dataset with ``num_workers`` reader threads and a bounded queue."""
 
@@ -51,7 +58,10 @@ class Prefetcher:
                     if i >= n:
                         return
                     next_index[0] += 1
-                item = self.dataset[i]
+                try:
+                    item = self.dataset[i]
+                except BaseException as e:  # noqa: BLE001 - delivered to consumer
+                    item = _WorkerError(e)
                 with results_cv:
                     results[i] = item
                     results_cv.notify_all()
@@ -64,6 +74,8 @@ class Prefetcher:
                 while i not in results:
                     results_cv.wait()
                 item = results.pop(i)
+            if isinstance(item, _WorkerError):
+                raise item.error
             yield self._convert(item)
 
     def _convert(self, item):

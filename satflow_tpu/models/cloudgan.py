@@ -104,6 +104,10 @@ class CloudGAN(GANBase):
             output_channels=forecast_steps * channels_per_timestep,
             pretrained=pretrained,
         )
+        # reflected hparams: ctor `loss` is the GAN mode, `l1_loss` the
+        # reconstruction criterion name (cloudgan.py:33,35)
+        self.loss_name = loss
+        self.l1_loss = l1_loss
 
     def build_module(self) -> nn.Module:
         if self.generator_model == "runet":

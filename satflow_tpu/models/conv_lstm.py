@@ -145,6 +145,11 @@ class ConvLSTMCore(nn.Module):
     #    880 frames/s on the v5e rollout bench; exact XLA fallback off-TPU.
     cell_impl: str = "fused"
     unroll: int = 1
+    # rematerialize per-step activations in the backward pass: the 48-step
+    # rollout's residuals exceed HBM at 256px training shapes (measured: 28 GB
+    # needed vs 15.75 GB on v5e at B=8); remat trades recompute for memory
+    # (SURVEY §5.7 scan-over-layers remat).
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -171,12 +176,15 @@ class ConvLSTMCore(nn.Module):
             out_axes=1,
             unroll=self.unroll,
         )
+
+        def step_cls(cls):
+            return nn.remat(cls, prevent_cse=False) if self.remat else cls
         init = (
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
         )
         if fused:
-            encoder = nn.scan(_EncoderStepFused, **scan_kwargs)(
+            encoder = nn.scan(step_cls(_EncoderStepFused), **scan_kwargs)(
                 self.hidden_dim, self.dtype, name="encoder"
             )
             (s1, s2), _ = encoder(init, x)
@@ -184,12 +192,12 @@ class ConvLSTMCore(nn.Module):
             # all encoder input-side gate convs in ONE folded batch conv
             xg = InputGateConv(self.hidden_dim, dtype=self.dtype,
                                name="encoder_input_gates")(x)
-            encoder = nn.scan(_EncoderStepSplit, **scan_kwargs)(
+            encoder = nn.scan(step_cls(_EncoderStepSplit), **scan_kwargs)(
                 self.hidden_dim, self.dtype, name="encoder"
             )
             (s1, s2), _ = encoder(init, xg)
         else:
-            encoder = nn.scan(_EncoderStep, **scan_kwargs)(
+            encoder = nn.scan(step_cls(_EncoderStep), **scan_kwargs)(
                 self.hidden_dim, self.conv_type, self.dtype, name="encoder"
             )
             (s1, s2), _ = encoder(init, x)
@@ -197,15 +205,15 @@ class ConvLSTMCore(nn.Module):
 
         dec_scan_kwargs = dict(scan_kwargs, length=steps)
         if fused:
-            decoder = nn.scan(_DecoderStepFused, **dec_scan_kwargs)(
+            decoder = nn.scan(step_cls(_DecoderStepFused), **dec_scan_kwargs)(
                 self.hidden_dim, self.dtype, name="decoder"
             )
         elif split_dec:
-            decoder = nn.scan(_DecoderStepSplit, **dec_scan_kwargs)(
+            decoder = nn.scan(step_cls(_DecoderStepSplit), **dec_scan_kwargs)(
                 self.hidden_dim, self.dtype, name="decoder"
             )
         else:
-            decoder = nn.scan(_DecoderStep, **dec_scan_kwargs)(
+            decoder = nn.scan(step_cls(_DecoderStep), **dec_scan_kwargs)(
                 self.hidden_dim, self.conv_type, self.dtype, name="decoder"
             )
         dec_init = (
@@ -221,7 +229,9 @@ class ConvLSTMCore(nn.Module):
         frames = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                          dtype=self.dtype, name="head")(frames)
         out = frames.reshape(b, steps, h, w, self.out_channels)
-        return nn.sigmoid(out.astype(jnp.float32))
+        # stay in the compute dtype: a (B,T,H,W,C) f32 upcast costs gigabytes
+        # of activation memory at training shapes; losses upcast locally.
+        return nn.sigmoid(out)
 
 
 @register_model
@@ -241,12 +251,14 @@ class EncoderDecoderConvLSTM(BaseModel):
         conv_type: str = "standard",
         cell_impl: str = "fused",
         unroll: int = 1,
+        remat: bool = True,
         dtype: Any = None,
     ):
         self.hidden_dim = hidden_dim
         self.conv_type = conv_type
         self.cell_impl = cell_impl
         self.unroll = unroll
+        self.remat = remat
         self.dtype = dtype
         super().__init__(
             forecast_steps=forecast_steps,
@@ -266,6 +278,7 @@ class EncoderDecoderConvLSTM(BaseModel):
             conv_type=self.conv_type,
             cell_impl=self.cell_impl,
             unroll=self.unroll,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

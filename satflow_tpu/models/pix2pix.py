@@ -67,6 +67,9 @@ class Pix2Pix(GANBase):
             output_channels=forecast_steps * channels_per_timestep,
             pretrained=pretrained,
         )
+        # the ctor's `loss` is the GAN mode (pix2pix.py:29); keep it as the
+        # reflected hparam so checkpoints rebuild with the right objective
+        self.loss_name = loss
 
     def build_module(self) -> nn.Module:
         return define_generator(

@@ -31,7 +31,11 @@ LOSSES = Registry("loss")
 
 @LOSSES.register("mse")
 def make_mse(**_) -> LossFn:
-    return lambda pred, target: jnp.mean(jnp.square(pred - target))
+    def mse(pred, target):
+        diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        return jnp.mean(jnp.square(diff))
+
+    return mse
 
 
 @LOSSES.register("l1")

@@ -126,3 +126,22 @@ def test_prefetcher_orders_and_completes():
         np.testing.assert_array_equal(
             got[0][consts.SATELLITE_DATA], want[0][consts.SATELLITE_DATA]
         )
+
+
+def test_prefetcher_propagates_worker_errors():
+    """An exception inside a reader thread must surface, not hang the loop."""
+    from satflow_tpu.data.datamodule import Prefetcher
+
+    class Boom:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise ValueError("bad batch")
+            return i
+
+    it = iter(Prefetcher(Boom(), num_workers=2, prefetch=2))
+    assert next(it) == 0
+    with pytest.raises(ValueError, match="bad batch"):
+        next(it)

@@ -89,6 +89,24 @@ def test_checkpoint_and_resume(tmp_path):
     assert "train/loss" in trainer2.callback_metrics
 
 
+def test_gan_hparams_roundtrip():
+    """GAN checkpoints must rebuild with the right GAN mode / criterion names."""
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2, channels_per_timestep=2,
+        loss="lsgan", l1_loss="l1", num_filters=4, features_start=4, unet_depth=2,
+    )
+    hp = model.hparams()
+    assert hp["loss"] == "lsgan" and hp["l1_loss"] == "l1"
+    from satflow_tpu.train.checkpoint import _ctor_kwargs
+
+    rebuilt = create_model("cloudgan", **_ctor_kwargs("CloudGAN", {k: v for k, v in hp.items() if k != "class"}))
+    assert rebuilt.gan_mode == "lsgan"
+
+    p2p = create_model("pix2pix", forecast_steps=2, input_channels=2,
+                       channels_per_timestep=2, num_filters=2, loss="vanilla")
+    assert p2p.hparams()["loss"] == "vanilla"
+
+
 def test_early_stopping():
     model = _small_model()
     dm = AdvectionDataModule()
