@@ -169,6 +169,7 @@ class Trainer:
                             now - t_last, 1e-9
                         )
                         t_last = now
+                        flat.update(_device_memory_metrics())
                         self.log_metrics(flat, self.global_step)
                         if self.terminate_on_nan and any(
                             isinstance(v, float) and math.isnan(v) for v in flat.values()
@@ -359,6 +360,21 @@ class Trainer:
         log.info("tune: suggested lr %.2e", suggestion)
         model.lr = suggestion
         return suggestion
+
+
+def _device_memory_metrics() -> Dict[str, float]:
+    """HBM usage metrics (the reference's log_gpu_memory knob, trainer
+    default.yaml:13); empty when the backend doesn't expose stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        out = {}
+        if "bytes_in_use" in stats:
+            out["mem/bytes_in_use_gb"] = stats["bytes_in_use"] / 1e9
+        if "peak_bytes_in_use" in stats:
+            out["mem/peak_gb"] = stats["peak_bytes_in_use"] / 1e9
+        return out
+    except Exception:  # noqa: BLE001
+        return {}
 
 
 class _OverfitDataModule:
