@@ -260,6 +260,18 @@ def test_fused_cell_matches_concat_cell(rng):
     )
 
 
+@pytest.mark.skip(reason="needs network access to a model hub (reference skips too)")
+def test_load_hf():
+    """Parity with reference tests/test_models.py:79-102 (both skipped there)."""
+    create_model("hf_hub:openclimatefix/perceiver-io")
+
+
+def test_local_prefix_requires_checkpoint(tmp_path):
+    """local: prefix fails cleanly on a non-checkpoint dir."""
+    with pytest.raises((FileNotFoundError, OSError)):
+        create_model(f"local:{tmp_path}")
+
+
 def test_hparams_roundtrip():
     model = create_model("encoderdecoderconvlstm", forecast_steps=7)
     hp = model.hparams()
