@@ -59,7 +59,11 @@ class AxialSelfAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         qk = self.qk_features or c
-        axis = self.axis % (x.ndim - 1)
+        axis = self.axis if self.axis >= 0 else self.axis + x.ndim
+        if axis >= x.ndim - 1:
+            raise ValueError(
+                f"axis {self.axis} resolves to the channel axis of shape {x.shape}"
+            )
         # move attended axis next to channels: (..., L, C)
         xm = jnp.moveaxis(x, axis, -2)
         length = xm.shape[-2]

@@ -89,6 +89,97 @@ class TestRecurrentCells:
             assert t.shape == (2, 8, 8, 8) and _finite(t)
 
 
+class TestAttention:
+    def test_sagan_attention_2d(self, rng):
+        from satflow_tpu.nn.attention import SAGANAttention2d
+
+        x = jax.random.normal(rng, (2, 8, 8, 16))
+        layer = SAGANAttention2d()
+        variables = layer.init(rng, x)
+        y = layer.apply(variables, x)
+        assert y.shape == x.shape and _finite(y)
+        # gamma starts at 0 → identity at init (SAGAN convention)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_self_attention_3d(self, rng):
+        from satflow_tpu.nn.attention import SelfAttention3d
+
+        x = jax.random.normal(rng, (1, 4, 8, 8, 16))
+        layer = SelfAttention3d()
+        variables = layer.init(rng, x)
+        y = layer.apply(variables, x)
+        assert y.shape == x.shape and _finite(y)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_separable_attention_axes(self, rng):
+        from satflow_tpu.nn.attention import SeparableAttention
+
+        x = jax.random.normal(rng, (1, 4, 8, 8, 8))
+        layer = SeparableAttention()
+        variables = layer.init(rng, x)
+        y = layer.apply(variables, x)
+        assert y.shape == x.shape and _finite(y)
+
+    def test_axial_attention_is_per_axis(self, rng):
+        """Axial attention along W must not mix information across H rows."""
+        from satflow_tpu.nn.attention import AxialSelfAttention
+
+        x = jax.random.normal(rng, (1, 6, 8, 16))
+        layer = AxialSelfAttention(heads=2, axis=-2)  # attend along W
+        variables = layer.init(rng, x)
+        y1 = layer.apply(variables, x)
+        x2 = x.at[0, 0].set(jax.random.normal(jax.random.PRNGKey(9), (8, 16)))
+        y2 = layer.apply(variables, x2)
+        # rows 1.. unchanged when only row 0 is perturbed
+        np.testing.assert_allclose(
+            np.asarray(y1[0, 1:]), np.asarray(y2[0, 1:]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(y1[0, 0]), np.asarray(y2[0, 0]))
+
+    def test_axial_attention_no_cross_batch_leak(self, rng):
+        """Regression: -3 on NHWC once resolved to the BATCH axis."""
+        from satflow_tpu.nn.attention import AxialSelfAttention
+
+        x = jax.random.normal(rng, (2, 4, 4, 8))
+        layer = AxialSelfAttention(heads=2, axis=-3)  # attend along H
+        variables = layer.init(rng, x)
+        y1 = layer.apply(variables, x)
+        x2 = x.at[1].set(0.0)  # perturb sample 1 only
+        y2 = layer.apply(variables, x2)
+        np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y2[0]), atol=1e-6)
+
+    def test_time_distributed_module(self, rng):
+        from flax import linen as fnn
+
+        from satflow_tpu.nn.misc import TimeDistributed
+
+        inner = fnn.Dense(4)
+        td = TimeDistributed(inner)
+        x = jax.random.normal(rng, (2, 3, 5))
+        variables = td.init(rng, x)
+        y = td.apply(variables, x)
+        assert y.shape == (2, 3, 4)
+        # equals applying per timestep
+        flat = inner.apply(
+            {"params": variables["params"]["module"]}, x.reshape(6, 5)
+        ).reshape(2, 3, 4)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(flat), atol=1e-6)
+
+    def test_sn_dense_and_embed(self, rng):
+        from satflow_tpu.nn.norm import SNDense, SNEmbed
+
+        x = jax.random.normal(rng, (4, 8))
+        layer = SNDense(6)
+        variables = layer.init(rng, x)
+        y, _ = layer.apply(variables, x, mutable=["spectral"])
+        assert y.shape == (4, 6) and _finite(y)
+
+        emb = SNEmbed(num_embeddings=5, features=8)
+        variables = emb.init(rng, jnp.asarray([0, 3]))
+        out, _ = emb.apply(variables, jnp.asarray([0, 3]), mutable=["spectral"])
+        assert out.shape == (2, 8)
+
+
 class TestNorms:
     def test_snconv_normalizes(self, rng):
         x = jax.random.normal(rng, (2, 8, 8, 4))
