@@ -1,0 +1,79 @@
+"""TPU-hardware smoke tests (skipped on CPU; run when a TPU is attached).
+
+The CPU suite can't see TPU-specific lowering issues (e.g. the Mosaic bf16
+transcendental bug found during kernel bring-up), so these tiny forwards
+compile-and-run each model family on the real chip. Validated manually on
+v5e (2026-08-16): metnet/perceiver/unet/dgmr all ok.
+
+Run: JAX_PLATFORMS=axon python -m pytest tests/test_tpu_smoke.py -q
+(these tests bypass the conftest CPU forcing via their own fixture check).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from satflow_tpu.core.registry import create_model
+from satflow_tpu.data.fake import FakeDataset
+import satflow_tpu.models  # noqa: F401
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu",),
+    reason="needs TPU hardware (conftest forces CPU in CI)",
+)
+
+
+def _forward(model, ds_kw, gan=False):
+    key = jax.random.PRNGKey(0)
+    ds = FakeDataset(length=1, **ds_kw)
+    batch = ds[0]
+    if gan:
+        g_vars, _ = model.init_gan_variables(key, batch)
+        x, _ = model.prepare_batch(batch)
+        out, _ = model.generate(g_vars, jnp.asarray(x), key, train=False)
+    else:
+        variables = model.init_variables(key, batch)
+        x, _ = model.prepare_batch(batch)
+        out = model.forward(variables, x)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    return out
+
+
+@requires_tpu
+def test_tpu_convlstm_fused():
+    model = create_model("encoderdecoderconvlstm", input_channels=12,
+                         out_channels=12, forecast_steps=2, hidden_dim=64,
+                         dtype=jnp.bfloat16)
+    _forward(model, dict(batch_size=1, width=32, height=32,
+                         history_minutes=10, forecast_minutes=10))
+
+
+@requires_tpu
+def test_tpu_metnet():
+    model = create_model("litmetnet", input_channels=14, sat_channels=12,
+                         input_size=8, output_channels=2, hidden_dim=8,
+                         forecast_steps=2, dtype=jnp.bfloat16)
+    _forward(model, dict(batch_size=1, width=32, height=32,
+                         number_sat_channels=12, history_minutes=10,
+                         forecast_minutes=10))
+
+
+@requires_tpu
+def test_tpu_perceiver():
+    model = create_model("perceiver", input_size=8, forecast_steps=2, depth=1,
+                         num_latents=8, latent_dim=16, dim=8, queries_dim=8,
+                         latent_dim_heads=8, cross_dim_heads=4, num_freq_bands=4)
+    _forward(model, dict(batch_size=1, width=8, height=8,
+                         history_minutes=10, forecast_minutes=10))
+
+
+@requires_tpu
+def test_tpu_dgmr():
+    model = create_model("nowcastinggan", forecast_steps=2, input_channels=1,
+                         output_shape=32, context_channels=16,
+                         latent_channels=32, disc_channels=4,
+                         disc_spatial_layers=2, disc_temporal_layers=1,
+                         num_samples=1)
+    _forward(model, dict(batch_size=1, width=32, height=32,
+                         number_sat_channels=1, history_minutes=15,
+                         forecast_minutes=10), gan=True)
