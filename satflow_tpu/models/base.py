@@ -133,8 +133,14 @@ class BaseModel:
         return {}
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        """Adam at ``self.lr`` (reference conv_lstm.py:49-51 default)."""
-        return optax.adam(self.lr)
+        """Adam at ``self.lr`` (reference conv_lstm.py:49-51 default).
+
+        The learning rate is injected as a traced hyperparameter rather than a
+        baked constant: hyperparameter sweeps then reuse one compiled train
+        step across trials (a per-trial recompile costs minutes on slow
+        hosts), and the plateau scheduler can rewrite it in the opt state.
+        """
+        return optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
 
     # -- config parity -------------------------------------------------------
 
