@@ -67,10 +67,10 @@ def _step_ref(x, h, c, wx, wh, b):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(block_h: int, width: int):
+def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False):
     def kernel(
         x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
-        w_ref, b_ref, hout_ref, cout_ref,
+        w_ref, b_ref, hout_ref, cout_ref, *maybe_scratch,
     ):
         # *_prev/cur/nxt: (1, block_h, W+2, C); w: (3, 3Cx+3Ch, 4Ch) — per
         # kernel row, x taps then h taps along the contraction axis
@@ -86,23 +86,39 @@ def _make_kernel(block_h: int, width: int):
             bot = jnp.where(r < n_r - 1, bot, jnp.zeros_like(bot))
             return jnp.concatenate([top, cur[0], bot], axis=0)  # (bh+2, W+2, C)
 
-        def windows(s):
-            cin = s.shape[-1]
-            return [
-                [
-                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, cin)
-                    for dx in range(3)
-                ]
-                for dy in range(3)
-            ]
-
-        xw = windows(slab(x_prev, x_cur, x_nxt))
-        hw = windows(slab(h_prev, h_cur, h_nxt))
+        x_slab = slab(x_prev, x_cur, x_nxt)
+        h_slab = slab(h_prev, h_cur, h_nxt)
         acc = jnp.zeros((rows, 4 * ch), jnp.float32)
         for dy in range(3):
             # one matmul per kernel row: x and h taps share the contraction
             # (K = 3·Cx + 3·Ch — full MXU depth, half the matmul launches)
-            win = jnp.concatenate(xw[dy] + hw[dy], axis=1)
+            if scratch_im2col:
+                # assemble the im2col row through a VMEM scratch with explicit
+                # stores (avoids the lane-relayout of a 6-way concat)
+                win_ref = maybe_scratch[0]
+                col = 0
+                for s in (x_slab, h_slab):
+                    cin = s.shape[-1]
+                    for dx in range(3):
+                        win_ref[:, col : col + cin] = s[
+                            dy : dy + block_h, dx : dx + width, :
+                        ].reshape(rows, cin)
+                        col += cin
+                win = win_ref[:]
+            else:
+                win = jnp.concatenate(
+                    [
+                        s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                        for s in (x_slab,)
+                        for dx in range(3)
+                    ]
+                    + [
+                        s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                        for s in (h_slab,)
+                        for dx in range(3)
+                    ],
+                    axis=1,
+                )
             acc += jnp.dot(win, w_ref[dy], preferred_element_type=jnp.float32)
         acc += b_ref[0].astype(jnp.float32)
 
@@ -117,6 +133,13 @@ def _make_kernel(block_h: int, width: int):
         hout_ref[0] = h_next.reshape(block_h, width, ch).astype(hout_ref.dtype)
 
     return kernel
+
+
+# Experiment toggle: assemble im2col via VMEM-scratch stores instead of a
+# lane concat. Interpret-verified correct, but at production shapes the extra
+# (rows, 3Cx+3Ch) scratch pushes scoped VMEM 372 KB over the 16 MB limit with
+# block_h=8 — keep the concat path until a smaller-block variant is tuned.
+_SCRATCH_IM2COL = False
 
 
 def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vmem
@@ -153,9 +176,15 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
         (1, block_h, width, ch), lambda bi, r: (bi, r, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    scratch = (
+        [pltpu.VMEM((block_h * width, 3 * cx + 3 * ch), x.dtype)]
+        if _SCRATCH_IM2COL
+        else []
+    )
     h_next, c_next = pl.pallas_call(
-        _make_kernel(block_h, width),
+        _make_kernel(block_h, width, _SCRATCH_IM2COL),
         grid=grid,
+        scratch_shapes=scratch,
         in_specs=[
             row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
             row_spec(ch, -1), row_spec(ch, 0), row_spec(ch, +1),
