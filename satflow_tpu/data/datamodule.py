@@ -27,53 +27,112 @@ class _WorkerError:
 
 
 class Prefetcher:
-    """Iterate a dataset with ``num_workers`` reader threads and a bounded queue."""
+    """Iterate a dataset with ``num_workers`` reader threads and bounded readahead.
+
+    At most ``max(prefetch, num_workers)`` batches are outstanding (claimed by a
+    worker or decoded-and-waiting) at any moment — ``prefetch_factor`` is a real
+    backpressure bound, like the reference DataLoader's
+    (reference datamodules.py:87-96 ``prefetch_factor=8``), so host memory stays
+    bounded on production-sized stores (n_train_data=24900).
+
+    Datasets without ``__getitem__`` (e.g. :class:`NativeStreamingDataset`, whose
+    C++ loader owns its own reader pool) are drained by a single pump thread into
+    the same bounded window.
+    """
 
     def __init__(self, dataset, num_workers: int = 2, prefetch: int = 4, device_put=None):
         self.dataset = dataset
         self.num_workers = max(0, num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.device_put = device_put
 
     def __len__(self):
         return len(self.dataset)
 
     def __iter__(self) -> Iterator:
+        indexable = hasattr(self.dataset, "__getitem__")
         if self.num_workers == 0:
-            for i in range(len(self.dataset)):
-                yield self._convert(self.dataset[i])
+            if indexable:
+                for i in range(len(self.dataset)):
+                    yield self._convert(self.dataset[i])
+            else:
+                for item in self.dataset:
+                    yield self._convert(item)
             return
+        if indexable:
+            yield from self._iter_indexed()
+        else:
+            yield from self._iter_streaming()
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    def _iter_indexed(self) -> Iterator:
         n = len(self.dataset)
-        index_lock = threading.Lock()
-        next_index = [0]
+        window = max(self.prefetch, self.num_workers)
+        cv = threading.Condition()
+        state = {"next": 0, "consumed": 0, "stop": False}
         results = {}
-        results_cv = threading.Condition()
 
         def worker():
             while True:
-                with index_lock:
-                    i = next_index[0]
-                    if i >= n:
-                        return
-                    next_index[0] += 1
+                with cv:
+                    while True:
+                        if state["stop"]:
+                            return
+                        i = state["next"]
+                        if i >= n:
+                            return
+                        if i - state["consumed"] < window:
+                            state["next"] = i + 1
+                            break
+                        cv.wait()
                 try:
                     item = self.dataset[i]
                 except BaseException as e:  # noqa: BLE001 - delivered to consumer
                     item = _WorkerError(e)
-                with results_cv:
+                with cv:
                     results[i] = item
-                    results_cv.notify_all()
+                    cv.notify_all()
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
         for t in threads:
             t.start()
-        for i in range(n):
-            with results_cv:
-                while i not in results:
-                    results_cv.wait()
-                item = results.pop(i)
+        try:
+            for i in range(n):
+                with cv:
+                    while i not in results:
+                        cv.wait()
+                    item = results.pop(i)
+                    state["consumed"] = i + 1
+                    cv.notify_all()
+                if isinstance(item, _WorkerError):
+                    raise item.error
+                yield self._convert(item)
+        finally:
+            with cv:
+                state["stop"] = True
+                cv.notify_all()
+
+    def _iter_streaming(self) -> Iterator:
+        """Single pump thread draining an iterable dataset into a bounded queue."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def pump():
+            try:
+                for item in self.dataset:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 - delivered to consumer
+                q.put(_WorkerError(e))
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
             if isinstance(item, _WorkerError):
                 raise item.error
             yield self._convert(item)
@@ -104,6 +163,8 @@ class SatFlowDataModule:
         history_minutes: Optional[int] = None,
         forecast_minutes: Optional[int] = None,
         shard: bool = True,
+        cache_size: int = 16,
+        use_native: bool = True,
     ):
         self.temp_path = temp_path
         self.data_path = data_path
@@ -118,12 +179,23 @@ class SatFlowDataModule:
         self.history_minutes = history_minutes
         self.forecast_minutes = forecast_minutes
         self.shard = shard
+        self.cache_size = cache_size
+        self.use_native = use_native
         self.configuration = self._load_configuration(configuration_filename)
 
     @staticmethod
     def _load_configuration(filename: str) -> dict:
-        if not filename or not os.path.exists(filename):
+        if not filename:
             return {}
+        if not os.path.exists(filename):
+            # Configs reference "satflow_tpu/configs/..." paths relative to the
+            # repo root; resolve against the installed package when the CLI has
+            # chdir'd into a run dir (run.py run-dir behavior).
+            pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+            candidate = os.path.join(pkg_root, filename)
+            if not os.path.exists(candidate):
+                return {}
+            filename = candidate
         import yaml
 
         with open(filename) as f:
@@ -136,6 +208,13 @@ class SatFlowDataModule:
 
         return lambda item: tuple(shard_batch(part) for part in item)
 
+    def _join(self, base: str, split: str) -> str:
+        from satflow_tpu.data.remote import is_remote
+
+        if is_remote(base) or "://" in base:
+            return base.rstrip("/") + "/" + split
+        return os.path.join(base, split)
+
     def _dataset(self, split: str, n: int):
         if self.fake_data:
             return FakeDataset(
@@ -144,16 +223,55 @@ class SatFlowDataModule:
                 length=min(n, 10),
                 **self.fake_kwargs,
             )
+        src = self._join(self.data_path, split)
+        if self.use_native and self._native_sfb_dir(src):
+            from satflow_tpu.data.datasets import NativeStreamingDataset
+
+            from satflow_tpu.data.datasets import config_minutes
+
+            hist = self.history_minutes if self.history_minutes is not None else (
+                config_minutes(self.configuration, "history_minutes", 30)
+            )
+            fut = self.forecast_minutes if self.forecast_minutes is not None else (
+                config_minutes(self.configuration, "forecast_minutes", 60)
+            )
+            return NativeStreamingDataset(
+                src,
+                history_minutes=hist,
+                forecast_minutes=fut,
+                required_keys=self.required_keys,
+                num_threads=max(1, self.num_workers),
+                capacity=self.prefetch_factor,
+            )
         return SatFlowDataset(
             n,
-            os.path.join(self.data_path, split),
+            src,
             os.path.join(self.temp_path, split),
             configuration=self.configuration,
             cloud=self.cloud,
             required_keys=self.required_keys,
             history_minutes=self.history_minutes,
             forecast_minutes=self.forecast_minutes,
+            cache_size=self.cache_size,
         )
+
+    @staticmethod
+    def _native_sfb_dir(src: str) -> bool:
+        """True when ``src`` is a local dir of .sfb files and the C++ loader builds."""
+        from satflow_tpu.data.remote import is_remote, split_url
+
+        if is_remote(src):
+            return False
+        _, path = split_url(src)
+        try:
+            has_sfb = any(f.endswith(".sfb") for f in os.listdir(path))
+        except OSError:
+            return False
+        if not has_sfb:
+            return False
+        from satflow_tpu.data.native_ingest import native_available
+
+        return native_available(auto_build=True)
 
     def train_dataloader(self) -> Prefetcher:
         return Prefetcher(

@@ -100,13 +100,36 @@ class SfbBatchStore:
         write_sfb(os.path.join(self.path, self.pattern.format(idx=idx)), batch)
 
 
-def open_batch_store(path: str):
-    """Pick a store implementation by inspecting the directory contents."""
+def open_batch_store(path: str, temp_path: str = ".", cache_size: int = 16):
+    """Pick a store implementation by inspecting the path.
+
+    URLs with a remote scheme (``gs://``, ``s3://``, ``memory://``, …) open a
+    :class:`~satflow_tpu.data.remote.RemoteBatchStore` that downloads batch
+    files into ``temp_path`` with LRU eviction — the reference's cloud->tmp
+    fetch (reference satflow/data/datasets.py:4-16, configs/datamodule/
+    {aws,gcp}.yaml). Local directories are inspected for the file format.
+    """
+    from satflow_tpu.data.remote import RemoteBatchStore, is_remote, split_url
+
+    if is_remote(path):
+        return RemoteBatchStore(path, cache_dir=temp_path, cache_size=cache_size)
+    _, path = split_url(path)  # strip an explicit file:// prefix
     if any(f.endswith(".sfb") for f in os.listdir(path)):
         return SfbBatchStore(path)
     if any(f.endswith(".nc") for f in os.listdir(path)):
         return NetCDFBatchStore(path)
     return NpzBatchStore(path)
+
+
+def config_minutes(cfg: dict, key: str, default: int) -> int:
+    """Read history/forecast minutes from a dataset configuration dict.
+
+    Supports both the flat local schema (``history_minutes: 30``) and the
+    reference nowcasting_dataset schema where they live under ``process:``
+    (reference configs/configurations/{gcp,aws}.yaml)."""
+    if key in cfg:
+        return int(cfg[key])
+    return int((cfg.get("process") or {}).get(key, default))
 
 
 def split_past_future(
@@ -168,16 +191,24 @@ class SatFlowDataset:
         history_minutes: Optional[int] = None,
         forecast_minutes: Optional[int] = None,
         combine_datetime_features: bool = False,
+        cache_size: int = 16,
     ):
         self.n_batches = n_batches
-        self.store = open_batch_store(src_path)
+        # cloud="local" with a remote src_path still resolves remotely — the
+        # scheme on the URL is authoritative, matching how the reference keys
+        # off the configured bucket path (datamodules.py:87-96).
+        self.store = open_batch_store(src_path, temp_path=tmp_path, cache_size=cache_size)
         self.required_keys = list(required_keys)
         cfg = configuration or {}
-        self.history_minutes = history_minutes if history_minutes is not None else cfg.get(
-            "history_minutes", 30
+        self.history_minutes = (
+            history_minutes
+            if history_minutes is not None
+            else config_minutes(cfg, "history_minutes", 30)
         )
-        self.forecast_minutes = forecast_minutes if forecast_minutes is not None else cfg.get(
-            "forecast_minutes", 60
+        self.forecast_minutes = (
+            forecast_minutes
+            if forecast_minutes is not None
+            else config_minutes(cfg, "forecast_minutes", 60)
         )
         # Index of the first future frame (reference datasets.py:64-68):
         # history frames [0, hist] inclusive of "now".
