@@ -124,11 +124,21 @@ class BaseModel:
         return loss, (metrics, new_state if train else state)
 
     def frame_metrics(self, y_hat: jax.Array, y: jax.Array) -> Dict[str, jax.Array]:
-        """Per-lead-time loss vector (reference's frame_{f}_loss convention)."""
+        """Per-lead-time loss vector (reference's frame_{f}_loss convention).
+
+        Uses the *configured* criterion per frame — the reference logs
+        ``self.criterion(y_hat[:, f], y[:, f])`` (reference
+        satflow/models/conv_lstm.py:64-69), so an SSIM-trained model gets SSIM
+        frame curves, not MSE. Vectorized as one vmap over the lead-time axis
+        instead of T separate criterion calls.
+        """
         if y_hat.ndim >= 5 and y_hat.shape[1] == y.shape[1]:
-            per_frame = jnp.mean(
-                jnp.square(y_hat - y), axis=tuple(range(2, y.ndim))
-            ).mean(axis=0)
+            try:
+                per_frame = jax.vmap(self.criterion, in_axes=(1, 1))(y_hat, y)
+            except Exception:  # criterion not per-frame-able: fall back to MSE
+                per_frame = jnp.mean(
+                    jnp.square(y_hat - y), axis=tuple(range(2, y.ndim))
+                ).mean(axis=0)
             return {"frame_loss": per_frame}
         return {}
 

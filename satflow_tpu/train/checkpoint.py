@@ -24,13 +24,27 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+def _opt_state_of(state):
+    """Optimizer state(s) of a train state (per-optimizer for GANTrainState)."""
+    if hasattr(state, "opt_state"):
+        return state.opt_state
+    return {"generator": state.g_opt_state, "discriminator": state.d_opt_state}
+
+
 def save_checkpoint(path: str, state, model, metrics: Optional[Dict[str, float]] = None):
-    """Save a train state (weights + model state + step) and the model config."""
+    """Save a train state (weights + model/opt state + step) and the model config.
+
+    opt_state and step are included so resume restores Adam moments, schedule
+    position, and step counters — the reference Lightning resume semantics
+    (``resume_from_checkpoint``; Lightning checkpoints embed optimizer_states
+    and global_step).
+    """
     path = _abs(path)
     os.makedirs(path, exist_ok=True)
     payload = {
         "params": jax.device_get(_params_of(state)),
         "model_state": jax.device_get(getattr(state, "model_state", {})) or {},
+        "opt_state": jax.device_get(_opt_state_of(state)),
         "step": int(jax.device_get(state.step)),
     }
     ckptr = ocp.StandardCheckpointer()
@@ -42,10 +56,60 @@ def save_checkpoint(path: str, state, model, metrics: Optional[Dict[str, float]]
         json.dump(meta, f, indent=2, default=float)
 
 
-def restore_checkpoint(path: str) -> Dict[str, Any]:
+def restore_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Restore a checkpoint payload.
+
+    Without ``target``, containers come back as plain dicts/lists — fine for
+    params/model_state, but optax states (namedtuples) lose their structure.
+    Pass a template payload (e.g. built from a freshly-initialized train state)
+    to restore opt_state with its original pytree structure.
+    """
     path = _abs(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(path, "state"))
+    ckpt_path = os.path.join(path, "state")
+    if target is None:
+        payload = ckptr.restore(ckpt_path)
+    else:
+        payload = ckptr.restore(ckpt_path, target=jax.device_get(target))
+    return payload
+
+
+def resume_state(state, path: str):
+    """Load a checkpoint into an already-built train state (params, model_state,
+    opt_state, step) — the engine's resume_from_checkpoint path."""
+    template = {
+        "params": _params_of(state),
+        "model_state": getattr(state, "model_state", {}) or {},
+        "opt_state": _opt_state_of(state),
+        "step": 0,
+    }
+    try:
+        payload = restore_checkpoint(path, target=template)
+    except BaseException:  # noqa: BLE001 - pre-r2 checkpoints lack opt_state
+        payload = restore_checkpoint(path)
+        payload["opt_state"] = None  # raw-dict opt_state is structurally unusable
+    import jax.numpy as jnp
+
+    step = jnp.asarray(payload.get("step", 0), jnp.int32)
+    if hasattr(state, "opt_state"):
+        state = state.replace(
+            params=payload["params"], model_state=payload["model_state"], step=step
+        )
+        if payload["opt_state"] is not None:
+            state = state.replace(opt_state=payload["opt_state"])
+    else:
+        state = state.replace(
+            g_params=payload["params"]["generator"],
+            d_params=payload["params"]["discriminator"],
+            model_state=payload["model_state"],
+            step=step,
+        )
+        if payload["opt_state"] is not None:
+            state = state.replace(
+                g_opt_state=payload["opt_state"]["generator"],
+                d_opt_state=payload["opt_state"]["discriminator"],
+            )
+    return state, int(payload.get("step", 0))
 
 
 def load_model_from_checkpoint(path: str):

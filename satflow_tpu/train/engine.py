@@ -155,6 +155,7 @@ class Trainer:
                     break
                 t_epoch = time.time()
                 t_last = t_epoch
+                steps_since_log = 0
                 for i, batch in enumerate(train_loader):
                     if i >= n_train or self.should_stop:
                         break
@@ -162,13 +163,25 @@ class Trainer:
                     self.last_batch = batch
                     self.state, metrics = train_step(self.state, batch, sub)
                     self.global_step += 1
+                    steps_since_log += 1
+                    if self.terminate_on_nan and "finite" in metrics:
+                        # The flag is computed inside the jitted step (free on
+                        # device); fetching it each step is the sync the user
+                        # opted into — no poisoned updates slip through.
+                        if not bool(jax.device_get(metrics["finite"])):
+                            log.error(
+                                "non-finite loss/grads at step %d; terminating fit",
+                                self.global_step,
+                            )
+                            self.should_stop = True
                     if self.global_step % self.log_every_n_steps == 0 or i == n_train - 1:
                         now = time.time()
                         flat = expand_frame_metrics(metrics, "train")
-                        flat["train/steps_per_sec"] = self.log_every_n_steps / max(
+                        flat["train/steps_per_sec"] = steps_since_log / max(
                             now - t_last, 1e-9
                         )
                         t_last = now
+                        steps_since_log = 0
                         flat.update(_device_memory_metrics())
                         self.log_metrics(flat, self.global_step)
                         if self.terminate_on_nan and any(
@@ -263,19 +276,12 @@ class Trainer:
             self.state = apply_zero_sharding(self.state)
 
         if self.resume_from_checkpoint:
-            from satflow_tpu.train.checkpoint import restore_checkpoint
+            from satflow_tpu.train.checkpoint import resume_state
 
-            payload = restore_checkpoint(self.resume_from_checkpoint)
-            if model.is_gan:
-                self.state = self.state.replace(
-                    g_params=payload["params"]["generator"],
-                    d_params=payload["params"]["discriminator"],
-                    model_state=payload["model_state"],
-                )
-            else:
-                self.state = self.state.replace(
-                    params=payload["params"], model_state=payload["model_state"]
-                )
+            # Restores params, model_state, opt_state (Adam moments, schedule
+            # position) and the step counter — Lightning resume semantics.
+            self.state, step = resume_state(self.state, self.resume_from_checkpoint)
+            self.global_step = step
 
     def _wrap_tx(self, tx: optax.GradientTransformation) -> optax.GradientTransformation:
         chain = []

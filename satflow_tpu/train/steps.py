@@ -31,6 +31,12 @@ def make_train_step(model) -> Callable:
         grads, (metrics, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_model_state)
         metrics["grad_norm"] = optax_global_norm(grads)
+        # In-step NaN guard (trainer terminate_on_nan, reference trainer
+        # default.yaml:48): computed on-device so the engine can check every
+        # step without recomputing anything.
+        metrics["finite"] = jnp.isfinite(metrics["loss"]) & jnp.isfinite(
+            metrics["grad_norm"]
+        )
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -83,6 +89,9 @@ def make_gan_train_step(model) -> Callable:
 
         metrics = {**{f"d_{k}": v for k, v in d_metrics.items()},
                    **{f"g_{k}": v for k, v in g_metrics.items()}}
+        metrics["finite"] = jnp.isfinite(d_metrics["loss"]) & jnp.isfinite(
+            g_metrics["loss"]
+        )
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -89,6 +89,65 @@ def test_checkpoint_and_resume(tmp_path):
     assert "train/loss" in trainer2.callback_metrics
 
 
+def test_resume_restores_opt_state_and_step(tmp_path):
+    """Resume must restore Adam moments + step counter (ADVICE r1 medium), not
+    just weights — matching Lightning's resume_from_checkpoint semantics."""
+    from satflow_tpu.train.checkpoint import resume_state, save_checkpoint
+
+    ckpt = str(tmp_path / "ck")
+    model = _small_model()
+    dm = AdvectionDataModule()
+    trainer = Trainer(max_epochs=1, seed=0)
+    trainer.fit(model, dm)
+    steps_done = trainer.global_step
+    assert steps_done > 0
+    save_checkpoint(ckpt, trainer.state, model)
+
+    # Fresh state, then resume into it.
+    model2 = _small_model()
+    trainer2 = Trainer(max_epochs=0, seed=0)
+    trainer2.resume_from_checkpoint = ckpt
+    trainer2.fit(model2, dm)  # max_epochs=0: builds + resumes, runs no steps
+    assert trainer2.global_step == steps_done
+    assert int(jax.device_get(trainer2.state.step)) == steps_done
+
+    # Adam moments actually restored (non-zero and equal to the saved ones).
+    def flat(tree):
+        return np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(tree)]
+        )
+
+    saved = flat(jax.device_get(trainer.state.opt_state))
+    restored = flat(jax.device_get(trainer2.state.opt_state))
+    assert saved.shape == restored.shape
+    np.testing.assert_allclose(saved, restored, rtol=1e-6)
+    assert np.any(saved != 0.0), "opt_state moments are all-zero (not trained?)"
+
+
+def test_gan_checkpoint_saves_both_opt_states(tmp_path):
+    from satflow_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2, channels_per_timestep=2,
+        num_filters=4, features_start=4, unet_depth=2, lr=1e-3,
+    )
+    dm = AdvectionDataModule()
+    trainer = Trainer(max_epochs=1, limit_train_batches=2, limit_val_batches=1, seed=0)
+    trainer.fit(model, dm)
+    ckpt = str(tmp_path / "gan_ck")
+    save_checkpoint(ckpt, trainer.state, model)
+    payload = restore_checkpoint(ckpt)
+    assert "generator" in payload["opt_state"]
+    assert "discriminator" in payload["opt_state"]
+    assert payload["step"] == trainer.global_step
+
+    # Round-trip through resume_state preserves structure.
+    from satflow_tpu.train.checkpoint import resume_state
+
+    state2, step = resume_state(trainer.state, ckpt)
+    assert step == trainer.global_step
+
+
 def test_gan_hparams_roundtrip():
     """GAN checkpoints must rebuild with the right GAN mode / criterion names."""
     model = create_model(
