@@ -88,11 +88,32 @@ def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
                 "hf_hub: model names need the huggingface_hub package"
             ) from e
         base = snapshot_download(repo_id=base)
-        source = "local"
+        import glob
+        import os
+
+        if not os.path.exists(os.path.join(base, "hparams.json")):
+            # Not a satflow_tpu checkpoint dir: fall back to torch .ckpt files
+            # (the reference's hub checkpoints are Lightning files).
+            ckpts = glob.glob(os.path.join(base, "*.ckpt")) + glob.glob(
+                os.path.join(base, "*.pt")
+            )
+            if ckpts:
+                base = ckpts[0]
+                source = "torch"
+            else:
+                source = "local"
+        else:
+            source = "local"
     if source == "local":
         from satflow_tpu.train.checkpoint import load_model_from_checkpoint
 
         return load_model_from_checkpoint(base)
+    if source == "torch":
+        # reference-format Lightning .ckpt: weights + hyper_parameters
+        # (reference tests/test_models.py:79-102 pretrained surface)
+        from satflow_tpu.interop.lightning import load_lightning_checkpoint
+
+        return load_lightning_checkpoint(base, **kwargs)
     cls = _model_entrypoint(base.lower())
     model = cls(**kwargs)
     if pretrained and checkpoint_path:

@@ -1,0 +1,314 @@
+"""Torch state_dict -> flax params conversion (the reference's ``hf_hub:`` path).
+
+The reference loads pretrained torch checkpoints by registry prefix
+(``create_model("hf_hub:...")``, reference satflow/models/__init__.py:1-7,
+exercised at reference tests/test_models.py:79-102). This module supplies the
+TPU-native equivalent: name-mapped, layout-transposed conversion of torch
+state_dicts into flax parameter pytrees, verified numerically by
+tests/test_torch_interop.py (inline torch models -> converted params ->
+matching forwards).
+
+Layout rules (torch -> flax/NHWC):
+- ``nn.Conv2d``  weight (O, I, kh, kw)     -> kernel (kh, kw, I, O)
+- ``nn.Conv3d``  weight (O, I, kd, kh, kw) -> kernel (kd, kh, kw, I, O)
+- ``nn.Linear``  weight (O, I)             -> kernel (I, O)
+- ``nn.LayerNorm/BatchNorm`` weight/bias   -> scale/bias (unchanged)
+- flax ``DenseGeneral`` q/k/v kernels (D, heads, dh) and out kernels
+  (heads, dh, O) are reshaped from the torch 2-D linear after transposition.
+
+Model maps:
+- :func:`load_torch_convlstm` — the exact reference ``EncoderDecoderConvLSTM``
+  naming (``model.encoder_1_convlstm.conv.weight`` ..., reference
+  satflow/models/conv_lstm.py:120-168): handles all three cell
+  implementations (concat / split / fused) by slicing the concatenated
+  input+hidden conv into the x/h kernels.
+- :func:`load_torch_perceiver` — PerceiverIO core naming
+  (``latents``, ``cross_attend_blocks.0.fn.to_q.weight``,
+  ``layers.{i}.0.fn.to_q.weight``, ...), accepting both fused ``to_kv`` and
+  split ``to_k``/``to_v`` projections.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def _np(tensor) -> np.ndarray:
+    """torch.Tensor | np.ndarray -> float32 numpy (detached, CPU)."""
+    if hasattr(tensor, "detach"):
+        tensor = tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def conv_kernel(w) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def conv3d_kernel(w) -> np.ndarray:
+    """(O, I, kd, kh, kw) -> (kd, kh, kw, I, O)."""
+    return _np(w).transpose(2, 3, 4, 1, 0)
+
+
+def conv_transpose_kernel(w) -> np.ndarray:
+    """(I, O, kh, kw) -> (kh, kw, I, O) (flax ConvTranspose layout)."""
+    return _np(w).transpose(2, 3, 0, 1)
+
+
+def linear_kernel(w) -> np.ndarray:
+    """(O, I) -> (I, O)."""
+    return _np(w).T
+
+
+def qkv_kernel(w, heads: int) -> np.ndarray:
+    """Torch (inner, D) q/k/v linear -> DenseGeneral kernel (D, heads, dh)."""
+    w = linear_kernel(w)  # (D, inner)
+    d, inner = w.shape
+    return w.reshape(d, heads, inner // heads)
+
+
+def attn_out_kernel(w, heads: int) -> np.ndarray:
+    """Torch (O, inner) out-proj -> DenseGeneral kernel (heads, dh, O)."""
+    w = linear_kernel(w)  # (inner, O)
+    inner, o = w.shape
+    return w.reshape(heads, inner // heads, o)
+
+
+def _set_path(params: Dict[str, Any], path: str, value: np.ndarray) -> None:
+    keys = path.split("/")
+    node = params
+    for k in keys[:-1]:
+        if k not in node:
+            raise KeyError(f"flax param path {path!r}: no subtree {k!r}")
+        node = node[k]
+    leaf = keys[-1]
+    if leaf not in node:
+        raise KeyError(f"flax param path {path!r}: no leaf {leaf!r}")
+    expected = np.shape(node[leaf])
+    if tuple(expected) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {path!r}: flax {tuple(expected)} vs converted "
+            f"torch {tuple(value.shape)}"
+        )
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+
+
+def load_torch_state_dict(
+    params: Dict[str, Any],
+    state_dict: Dict[str, Any],
+    rules: Dict[str, tuple],
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Apply conversion ``rules`` {torch_key: (flax_path, transform)} onto a
+    deep copy of ``params``; shape-checks every assignment."""
+    import copy
+
+    out = copy.deepcopy(_to_mutable(params))
+    missing = []
+    for torch_key, (flax_path, transform) in rules.items():
+        if torch_key not in state_dict:
+            missing.append(torch_key)
+            continue
+        value = transform(state_dict[torch_key])
+        _set_path(out, flax_path, value)
+    if missing and strict:
+        raise KeyError(f"state_dict is missing keys: {missing}")
+    return out
+
+
+def _to_mutable(tree):
+    if hasattr(tree, "unfreeze"):
+        tree = tree.unfreeze()
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+# -----------------------------------------------------------------------------
+# EncoderDecoderConvLSTM (reference satflow/models/conv_lstm.py naming)
+# -----------------------------------------------------------------------------
+
+_CELL_NAMES = {
+    "encoder_1_convlstm": ("encoder", "encoder_1"),
+    "encoder_2_convlstm": ("encoder", "encoder_2"),
+    "decoder_1_convlstm": ("decoder", "decoder_1"),
+    "decoder_2_convlstm": ("decoder", "decoder_2"),
+}
+
+
+def load_torch_convlstm(model, state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a reference-format EncoderDecoderConvLSTM torch state_dict.
+
+    Expects the reference's parameter naming (conv_lstm.py:131-168):
+    ``model.{encoder_1,encoder_2,decoder_1,decoder_2}_convlstm.conv.{weight,bias}``
+    with the 4-gate conv over concat([x, h]) in i,f,o,g order, plus
+    ``model.decoder_CNN.{weight,bias}`` ((1,3,3) Conv3d head).
+
+    Returns ``{"params": ...}`` matching ``model.module`` for any
+    ``cell_impl``:
+    - concat cells keep the (kh, kw, Cin+H, 4H) kernel whole;
+    - split/fused cells slice it into x (first Cin input rows) and h kernels.
+    Sets ``model.restored_variables`` as a side effect.
+    """
+    import jax
+
+    variables = model.module.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 2, 8, 8, model.input_channels), np.float32),
+    )
+    params = _to_mutable(dict(variables))["params"]
+
+    pending: Dict[str, tuple] = {}
+    for torch_cell, (block, cell) in _CELL_NAMES.items():
+        w = conv_kernel(state_dict[f"model.{torch_cell}.conv.weight"])  # (k,k,Cin+H,4H)
+        b = _np(state_dict[f"model.{torch_cell}.conv.bias"])
+        target = params[block][cell]
+        # Branch on the cell's actual parameter geometry (impl-agnostic):
+        if "x_gates_kernel" in target:  # FusedConvLSTMCell
+            cin = target["x_gates_kernel"].shape[2]
+            _set_path(params, f"{block}/{cell}/x_gates_kernel", w[:, :, :cin])
+            _set_path(params, f"{block}/{cell}/h_gates_kernel", w[:, :, cin:])
+            _set_path(params, f"{block}/{cell}/bias", b)
+        elif "x_gates" in target:  # SplitConvLSTMCell with in-cell input conv
+            cin = target["x_gates"]["kernel"].shape[2]
+            _set_path(params, f"{block}/{cell}/x_gates/kernel", w[:, :, :cin])
+            _set_path(params, f"{block}/{cell}/x_gates/bias", b)
+            _set_path(params, f"{block}/{cell}/h_gates/kernel", w[:, :, cin:])
+        elif "h_gates" in target:  # split cell with hoisted input conv
+            cin = w.shape[2] - target["h_gates"]["kernel"].shape[2]
+            _set_path(params, f"{block}/{cell}/h_gates/kernel", w[:, :, cin:])
+            pending[f"{block}/{cell}"] = (w[:, :, :cin], b)
+        else:  # concat ConvLSTMCell: the reference layout, kernel kept whole
+            _set_path(params, f"{block}/{cell}/gates/kernel", w)
+            _set_path(params, f"{block}/{cell}/gates/bias", b)
+
+    if pending:
+        # split/hybrid modes hoist ONLY encoder_1's input conv (its x comes
+        # from the data); encoder_2's x is h1, handled in-cell via x_gates.
+        wx, b = pending.pop("encoder/encoder_1")
+        _set_path(params, "encoder_input_gates/x_gates/kernel", wx)
+        _set_path(params, "encoder_input_gates/x_gates/bias", b)
+        if pending:
+            raise KeyError(f"unmapped hoisted input convs: {sorted(pending)}")
+
+    head_w = conv3d_kernel(state_dict["model.decoder_CNN.weight"])  # (1,3,3,H,O)
+    _set_path(params, "head/kernel", head_w[0])
+    _set_path(params, "head/bias", _np(state_dict["model.decoder_CNN.bias"]))
+
+    model.restored_variables = {"params": params}
+    return model.restored_variables
+
+
+# -----------------------------------------------------------------------------
+# PerceiverIO core (lucidrains-style naming used by the reference's deps)
+# -----------------------------------------------------------------------------
+
+
+def _attn_rules(
+    torch_prefix: str, flax_prefix: str, heads: int
+) -> Dict[str, tuple]:
+    return {
+        f"{torch_prefix}.to_q.weight": (
+            f"{flax_prefix}/to_q/kernel",
+            lambda w, h=heads: qkv_kernel(w, h),
+        ),
+        f"{torch_prefix}.to_k.weight": (
+            f"{flax_prefix}/to_k/kernel",
+            lambda w, h=heads: qkv_kernel(w, h),
+        ),
+        f"{torch_prefix}.to_v.weight": (
+            f"{flax_prefix}/to_v/kernel",
+            lambda w, h=heads: qkv_kernel(w, h),
+        ),
+        f"{torch_prefix}.to_out.weight": (
+            f"{flax_prefix}/to_out/kernel",
+            lambda w, h=heads: attn_out_kernel(w, h),
+        ),
+        f"{torch_prefix}.to_out.bias": (f"{flax_prefix}/to_out/bias", _np),
+    }
+
+
+def _ln_rules(torch_prefix: str, flax_prefix: str) -> Dict[str, tuple]:
+    return {
+        f"{torch_prefix}.weight": (f"{flax_prefix}/scale", _np),
+        f"{torch_prefix}.bias": (f"{flax_prefix}/bias", _np),
+    }
+
+
+def _ff_rules(torch_prefix: str, flax_prefix: str) -> Dict[str, tuple]:
+    return {
+        f"{torch_prefix}.net.0.weight": (f"{flax_prefix}/in/kernel", linear_kernel),
+        f"{torch_prefix}.net.0.bias": (f"{flax_prefix}/in/bias", _np),
+        f"{torch_prefix}.net.2.weight": (f"{flax_prefix}/out/kernel", linear_kernel),
+        f"{torch_prefix}.net.2.bias": (f"{flax_prefix}/out/bias", _np),
+    }
+
+
+def _split_fused_kv(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Expand lucidrains fused ``to_kv.weight`` (2*inner, D) into to_k/to_v."""
+    out = dict(state_dict)
+    for key in list(state_dict):
+        if key.endswith(".to_kv.weight"):
+            w = _np(state_dict[key])
+            half = w.shape[0] // 2
+            base = key[: -len(".to_kv.weight")]
+            out.setdefault(f"{base}.to_k.weight", w[:half])
+            out.setdefault(f"{base}.to_v.weight", w[half:])
+            del out[key]
+    return out
+
+
+def perceiver_core_rules(core) -> Dict[str, tuple]:
+    """Conversion rules for a :class:`MultiPerceiverIO` core.
+
+    Torch naming follows the PerceiverIO convention of the reference's
+    perceiver package (``latents``, ``cross_attend_blocks.{0,1}``,
+    ``layers.{i}.{0,1}``, ``decoder_cross_attn``, ``to_logits``).
+    """
+    rules: Dict[str, tuple] = {"latents": ("latents", _np)}
+    # encoder cross-attention: block 0 = PreNorm(attn), block 1 = PreNorm(ff)
+    rules.update(_ln_rules("cross_attend_blocks.0.norm", "encode/ln_q"))
+    rules.update(_ln_rules("cross_attend_blocks.0.norm_context", "encode/ln_kv"))
+    rules.update(
+        _attn_rules("cross_attend_blocks.0.fn", "encode/attn", core.cross_heads)
+    )
+    rules.update(_ln_rules("cross_attend_blocks.1.norm", "encode/ln_ff"))
+    rules.update(_ff_rules("cross_attend_blocks.1.fn", "encode/ff"))
+    for i in range(core.depth):
+        flax_block = "latent" if core.weight_tie_layers else f"latent{i}"
+        rules.update(_ln_rules(f"layers.{i}.0.norm", f"{flax_block}/ln"))
+        rules.update(
+            _attn_rules(f"layers.{i}.0.fn", f"{flax_block}/attn", core.latent_heads)
+        )
+        rules.update(_ln_rules(f"layers.{i}.1.norm", f"{flax_block}/ln_ff"))
+        rules.update(_ff_rules(f"layers.{i}.1.fn", f"{flax_block}/ff"))
+        if core.weight_tie_layers:
+            break
+    rules.update(_ln_rules("decoder_cross_attn.norm", "decode/ln_q"))
+    rules.update(_ln_rules("decoder_cross_attn.norm_context", "decode/ln_kv"))
+    rules.update(
+        _attn_rules("decoder_cross_attn.fn", "decode/attn", core.cross_heads)
+    )
+    if core.decoder_ff:
+        rules.update(_ln_rules("decoder_ff.norm", "decode/ln_ff"))
+        rules.update(_ff_rules("decoder_ff.fn", "decode/ff"))
+    rules["to_logits.weight"] = ("to_logits/kernel", linear_kernel)
+    rules["to_logits.bias"] = ("to_logits/bias", _np)
+    return rules
+
+
+def load_torch_perceiver(
+    core_params: Dict[str, Any],
+    core,
+    state_dict: Dict[str, Any],
+    strict: bool = False,
+) -> Dict[str, Any]:
+    """Convert a PerceiverIO-naming torch state_dict onto MultiPerceiverIO
+    core params (fused ``to_kv`` accepted). ``strict=False`` skips absent keys
+    (real checkpoints carry extra preprocessor weights the flax core replaces)."""
+    state_dict = _split_fused_kv(state_dict)
+    return load_torch_state_dict(
+        core_params, state_dict, perceiver_core_rules(core), strict=strict
+    )
