@@ -83,22 +83,48 @@ def check_channels(
     return channels
 
 
-def map_satellite_to_mercator(*args, **kwargs):  # pragma: no cover - gated
-    """MSG native → Transverse-Mercator geotiff resample (utils.py:48-96).
+def map_satellite_to_mercator(
+    native_satellite=None,
+    frames: Optional[np.ndarray] = None,
+    bands: Sequence[str] = (),
+    save_scene: str = "geotiff",
+    save_loc: Optional[str] = None,
+    src_area=None,
+    dst_area=None,
+):
+    """MSG native → Transverse-Mercator resample (reference utils.py:48-96).
 
-    Requires the satpy/pyresample stack, which is a data-prep (not TPU-host)
-    dependency; raises a clear error when absent.
+    Two paths:
+    - ``frames=`` (…, H, W) arrays already decoded from the SEVIRI native grid:
+      reprojected with the in-repo numpy GEOS→TM resampler
+      (:mod:`satflow_tpu.data.geo` — no satpy/pyresample needed).
+    - ``native_satellite=`` a .nat file: decoding MSG native files needs the
+      satpy reader stack; used when available (parity with the reference's
+      Scene flow), otherwise raises with a clear message.
     """
-    try:
-        import satpy  # noqa: F401
+    from satflow_tpu.data import geo
+
+    src_area = src_area or geo.MSG_FULL_DISC_3KM
+    dst_area = dst_area or geo.EUROPE_TM_AREA
+    if frames is not None:
+        out = geo.map_satellite_to_mercator_arrays(frames, src_area, dst_area)
+        if save_loc is not None:
+            np.save(save_loc, out)
+        return out
+    try:  # pragma: no cover - needs the satpy reader stack
+        from satpy import Scene
     except ImportError as e:
         raise ImportError(
-            "map_satellite_to_mercator needs satpy/pyresample; run data prep "
-            "on an ingest host with the geo stack installed"
+            "Decoding MSG .nat files needs satpy; either install the geo "
+            "stack or pass decoded arrays via frames= (resampled in-repo)"
         ) from e
-    raise NotImplementedError(
-        "geo resampling is part of the ingest tooling, not the training host"
-    )
+    scene = Scene(filenames={"seviri_l1b_native": [native_satellite]})
+    scene.load(list(bands))
+    arrays = np.stack([scene[b].values for b in bands])
+    out = geo.map_satellite_to_mercator_arrays(arrays, src_area, dst_area)
+    if save_loc is not None:
+        np.save(save_loc, out)
+    return out
 
 
 class Standardizer:
