@@ -59,9 +59,14 @@ def train(config: Dict[str, Any]) -> Optional[float]:
         seed=config.get("seed", 0),
     )
 
-    if trainer_conf.get("auto_lr_find"):
-        log.info("Running LR range finder (trainer.tune)")
-        trainer.tune(model, datamodule)
+    if trainer_conf.get("auto_lr_find") or trainer_conf.get("auto_scale_batch_size"):
+        log.info("Running trainer.tune (reference train.py:81-83)")
+        trainer.tune(
+            model,
+            datamodule,
+            auto_lr_find=bool(trainer_conf.get("auto_lr_find")),
+            auto_scale_batch_size=bool(trainer_conf.get("auto_scale_batch_size")),
+        )
 
     log.info("Starting training")
     trainer.fit(model, datamodule)

@@ -141,10 +141,27 @@ class GANBase(BaseModel):
         return loss, (metrics, {"g": g_state, "d": new_d_state})
 
     def make_optimizers(self) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
-        return (
-            optax.adam(self.gen_lr, b1=self.beta1, b2=self.beta2),
-            optax.adam(self.disc_lr, b1=self.beta1, b2=self.beta2),
-        )
+        """Two Adam optimizers with the configured LR schedule.
+
+        The ``scheduler`` ctor arg ('plateau'/'cosine'/'warmup', reference
+        cloudgan.py:335-362) is honored: cosine/warmup become optax schedules
+        inside ``inject_hyperparams``; plateau keeps a constant injected LR that
+        the engine's PlateauScheduler rewrites on validation plateaus.
+        """
+        from satflow_tpu.train.schedules import make_schedule
+
+        sched = getattr(self, "scheduler", None)
+        total = getattr(self, "total_steps", 100_000)
+
+        def make(lr):
+            if sched in ("cosine", "warmup", "warmup_cosine"):
+                name = "warmup_cosine" if sched == "warmup" else sched
+                lr = make_schedule(name, lr, total_steps=total)
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr, b1=self.beta1, b2=self.beta2
+            )
+
+        return make(self.gen_lr), make(self.disc_lr)
 
     def hparams(self) -> Dict[str, Any]:
         hp = super().hparams()

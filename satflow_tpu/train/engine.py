@@ -96,6 +96,7 @@ class Trainer:
         self.global_step = 0
         self.last_batch = None
         self._lr_schedule = None
+        self._plateau = None
 
     # -- public API ----------------------------------------------------------
 
@@ -202,6 +203,7 @@ class Trainer:
                         eval_step, datamodule.val_dataloader(), "val", step_rng
                     )
                     self.log_metrics(val_metrics, self.global_step)
+                    self._plateau_step(val_metrics)
                     for cb in self.callbacks:
                         cb.on_validation_end(self, val_metrics, epoch)
         finally:
@@ -240,6 +242,33 @@ class Trainer:
 
     # -- internals -----------------------------------------------------------
 
+    def _plateau_step(self, val_metrics: Dict[str, float]) -> None:
+        """ReduceLROnPlateau: decay the injected LR when the monitored val
+        metric stalls (reference cloudgan.py:335-347 'plateau' scheduler)."""
+        if self._plateau is None or self.state is None:
+            return
+        monitor = "val/g_loss" if self.model.is_gan else "val/loss"
+        metric = val_metrics.get(monitor, val_metrics.get("val/loss"))
+        if metric is None:
+            return
+        old_scale = self._plateau.scale
+        self._plateau.update(float(metric))
+        if self._plateau.scale == old_scale:
+            return
+        from satflow_tpu.train.schedules import rewrite_learning_rate
+
+        new_lr = self._plateau.lr
+        log.info("plateau: reducing lr to %.3e", new_lr)
+        if hasattr(self.state, "opt_state"):
+            self.state = self.state.replace(
+                opt_state=rewrite_learning_rate(self.state.opt_state, new_lr)
+            )
+        else:
+            self.state = self.state.replace(
+                g_opt_state=rewrite_learning_rate(self.state.g_opt_state, new_lr),
+                d_opt_state=rewrite_learning_rate(self.state.d_opt_state, new_lr),
+            )
+
     def _build_state(self, model, rng: jax.Array, loader: Iterable) -> None:
         if self.state is not None:
             return
@@ -269,6 +298,13 @@ class Trainer:
             tx = self._wrap_tx(model.make_optimizer())
             self.state = TrainState.create(params, model_state, tx)
         self._lr_schedule = getattr(model, "lr_schedule", None)
+        if getattr(model, "scheduler", None) == "plateau":
+            from satflow_tpu.train.schedules import PlateauScheduler
+
+            self._plateau = PlateauScheduler(
+                base_lr=getattr(model, "gen_lr", None) or model.lr,
+                patience=getattr(model, "lr_epochs", 10) // 2,
+            )
 
         if self.zero_sharding and len(jax.devices()) > 1:
             from satflow_tpu.parallel.zero import apply_zero_sharding
@@ -318,11 +354,74 @@ class Trainer:
             return max(1, int(n * limit))
         return min(n, int(limit))
 
+    def scale_batch_size(
+        self,
+        model,
+        datamodule,
+        init_val: int = 2,
+        max_trials: int = 6,
+        max_batch_size: Optional[int] = None,
+    ) -> int:
+        """Power-scaling batch-size finder (the reference's
+        ``trainer.tune(auto_scale_batch_size="power")``, train.py:81-83):
+        double the batch until the train step OOMs, back off to the last
+        good size. Sets ``datamodule.batch_size`` when the attribute exists."""
+        import numpy as _np
+
+        import optax
+
+        from satflow_tpu.train.state import TrainState
+        from satflow_tpu.train.steps import make_train_step
+
+        rng = jax.random.PRNGKey(self.seed)
+        first = next(iter(datamodule.train_dataloader()))
+
+        def resize(batch, n):
+            def grow(arr):
+                arr = _np.asarray(arr)
+                reps = (n + arr.shape[0] - 1) // arr.shape[0]
+                return _np.tile(arr, (reps,) + (1,) * (arr.ndim - 1))[:n]
+
+            return jax.tree_util.tree_map(grow, batch)
+
+        good = 0
+        size = max(1, init_val)
+        step = make_train_step(model)
+        for _ in range(max_trials):
+            if max_batch_size and size > max_batch_size:
+                break
+            try:
+                batch = resize(first, size)
+                variables = model.init_variables(rng, batch)
+                params, model_state = model.split_variables(variables)
+                state = TrainState.create(params, model_state, optax.sgd(1e-4))
+                state, metrics = step(state, batch, rng)
+                jax.block_until_ready(metrics["loss"])
+                good = size
+                size *= 2
+            except Exception as e:  # noqa: BLE001 - OOM/compile failure: back off
+                log.info("scale_batch_size: %d failed (%s); keeping %d",
+                         size, type(e).__name__, good)
+                break
+        good = good or init_val
+        if hasattr(datamodule, "batch_size"):
+            datamodule.batch_size = good
+        log.info("scale_batch_size: selected %d", good)
+        return good
+
     def tune(self, model, datamodule, num_steps: int = 30,
-             min_lr: float = 1e-6, max_lr: float = 1.0) -> float:
-        """LR range finder (the reference's trainer.tune auto_lr_find,
-        train.py:81-83): sweep LR exponentially over a few steps and return
-        the LR one decade below the loss blow-up point; sets model.lr."""
+             min_lr: float = 1e-6, max_lr: float = 1.0,
+             auto_lr_find: bool = True,
+             auto_scale_batch_size: bool = False) -> float:
+        """LR range finder + optional batch-size scaling (the reference's
+        trainer.tune, train.py:81-83): sweep LR exponentially over a few steps
+        and return the LR one decade below the loss blow-up point; sets
+        model.lr. With ``auto_scale_batch_size``, first runs
+        :meth:`scale_batch_size`."""
+        if auto_scale_batch_size:
+            self.scale_batch_size(model, datamodule)
+        if not auto_lr_find:
+            return model.lr
         import math as _math
 
         import numpy as _np

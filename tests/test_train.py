@@ -148,6 +148,112 @@ def test_gan_checkpoint_saves_both_opt_states(tmp_path):
     assert step == trainer.global_step
 
 
+def test_plateau_scheduler_clamps_at_min_lr():
+    from satflow_tpu.train.schedules import PlateauScheduler
+
+    s = PlateauScheduler(base_lr=1e-3, factor=0.1, patience=0, min_lr=1e-5)
+    s.update(1.0)  # best
+    for _ in range(5):
+        s.update(2.0)  # plateau -> decay each time
+    assert s.lr == pytest.approx(1e-5)  # clamped at min_lr, not min_lr*base_lr
+
+
+def test_rewrite_learning_rate_through_wrappers():
+    import jax.numpy as jnp
+    import optax
+
+    from satflow_tpu.train.schedules import rewrite_learning_rate
+
+    tx = optax.MultiSteps(
+        optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.inject_hyperparams(optax.adam)(learning_rate=1e-3),
+        ),
+        every_k_schedule=2,
+    )
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    new_state = rewrite_learning_rate(state, 5e-4)
+
+    def find_lr(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+        if isinstance(node, tuple):
+            for c in node:
+                got = find_lr(c)
+                if got is not None:
+                    return got
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                got = find_lr(getattr(node, f))
+                if got is not None:
+                    return got
+        return None
+
+    assert find_lr(new_state) == pytest.approx(5e-4)
+    # structure unchanged: the jitted step won't recompile
+    assert jax.tree_util.tree_structure(state) == jax.tree_util.tree_structure(new_state)
+
+
+def test_gan_plateau_reduces_lr_in_opt_state():
+    """scheduler='plateau' wiring: stalled val metrics rewrite the injected LR
+    (ADVICE r1: scheduler arg was stored but never used)."""
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2, channels_per_timestep=2,
+        num_filters=4, features_start=4, unet_depth=2, scheduler="plateau",
+        lr=1e-3, lr_epochs=0,
+    )
+    dm = AdvectionDataModule()
+    trainer = Trainer(max_epochs=1, limit_train_batches=1, limit_val_batches=1, seed=0)
+    trainer.fit(model, dm)
+    assert trainer._plateau is not None
+    # simulate stalled validations
+    trainer._plateau_step({"val/g_loss": 1.0})
+    before = trainer._plateau.scale
+    trainer._plateau_step({"val/g_loss": 2.0})
+    trainer._plateau_step({"val/g_loss": 2.0})
+    assert trainer._plateau.scale < before
+
+    def find_lr(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+        if isinstance(node, tuple):
+            for c in node:
+                got = find_lr(c)
+                if got is not None:
+                    return got
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                got = find_lr(getattr(node, f))
+                if got is not None:
+                    return got
+        return None
+
+    assert find_lr(trainer.state.g_opt_state) == pytest.approx(trainer._plateau.lr)
+
+
+def test_gan_cosine_scheduler_decays_lr():
+    import jax.numpy as jnp
+    import optax
+
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2, channels_per_timestep=2,
+        num_filters=4, features_start=4, unet_depth=2, scheduler="cosine",
+        lr=1e-3,
+    )
+    model.total_steps = 10
+    g_tx, _ = model.make_optimizers()
+    params = {"w": jnp.ones((3,))}
+    state = g_tx.init(params)
+    lrs = []
+    for _ in range(3):
+        _, state = g_tx.update({"w": jnp.ones((3,))}, state, params)
+        lrs.append(float(state.hyperparams["learning_rate"]))
+    assert lrs[0] > lrs[-1], lrs
+
+
 def test_gan_hparams_roundtrip():
     """GAN checkpoints must rebuild with the right GAN mode / criterion names."""
     model = create_model(
@@ -220,6 +326,76 @@ def test_overfit_batches_uses_same_data():
     metrics = trainer.fit(model, dm)
     assert trainer.global_step == 2  # one cached batch × two epochs
     assert np.isfinite(metrics["val/loss"])
+
+
+def test_scale_batch_size_backs_off_on_failure():
+    """auto_scale_batch_size: doubles until failure, keeps the last good size
+    (reference trainer.tune(auto_scale_batch_size), train.py:81-83)."""
+    model = _small_model()
+    dm = AdvectionDataModule()
+    orig = model.init_variables
+
+    def failing_init(rng, batch):
+        x, _ = batch
+        if x["sat_data"].shape[0] > 4:
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM")
+        return orig(rng, batch)
+
+    model.init_variables = failing_init
+    trainer = Trainer(seed=0)
+    n = trainer.scale_batch_size(model, dm, init_val=2, max_trials=5)
+    assert n == 4
+
+
+def test_scale_batch_size_grows_and_sets_attr():
+    model = _small_model()
+    dm = AdvectionDataModule()
+    dm.batch_size = 0
+    trainer = Trainer(seed=0)
+    n = trainer.scale_batch_size(model, dm, init_val=2, max_trials=3,
+                                 max_batch_size=8)
+    assert n == 8  # 2 -> 4 -> 8, capped by max_batch_size
+    assert dm.batch_size == 8
+
+
+def test_neptune_logger_offline_noop_and_mock():
+    """NeptuneLogger: silent no-op offline; logs through a mocked client."""
+    from satflow_tpu.train.loggers import NeptuneLogger
+
+    lg = NeptuneLogger(project="none/nothing")
+    lg.log_metrics({"train/loss": 1.0}, step=1)  # no client: must not raise
+    lg.finalize()
+
+    class FakeSeries:
+        def __init__(self):
+            self.values = []
+
+        def append(self, v, step=None):
+            self.values.append((v, step))
+
+    class FakeRun(dict):
+        def __init__(self):
+            super().__init__()
+            self.stopped = False
+
+        def __getitem__(self, k):
+            return self.setdefault(k, FakeSeries()) if k not in self else super().__getitem__(k)
+
+        def setdefault(self, k, v):
+            if k not in self:
+                super().__setitem__(k, v)
+            return super().__getitem__(k)
+
+        def stop(self):
+            self.stopped = True
+
+    lg2 = NeptuneLogger(project="none/nothing")
+    lg2._run = FakeRun()
+    lg2.log_metrics({"train/loss": 0.5, "val/loss": 0.7}, step=3)
+    assert lg2._run["train/loss"].values == [(0.5, 3)]
+    assert lg2._run["val/loss"].values == [(0.7, 3)]
+    lg2.finalize()
+    assert lg2._run.stopped
 
 
 def test_tune_lr_finder():
