@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -25,7 +26,8 @@ HISTORY_STEPS = 7  # 30 min history + now
 FORECAST_STEPS = 24
 SIZE = 256
 CHANNELS = 12
-BATCH = 16  # measured optimum on v5e (b8: 640, b16: 656, b32: 486 f/s)
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # v5e optimum (b8: 640, b16: 656, b32: 486 f/s in the u8-XLA era)
+UNROLL = int(os.environ.get("BENCH_UNROLL", "8"))
 HIDDEN = 64
 
 
@@ -40,7 +42,8 @@ def main():
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
         cell_impl="fused",  # fully fused Pallas cell: 656 -> 880 f/s
-        unroll=8,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
+        unroll=UNROLL,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
+        head_in_scan=os.environ.get("BENCH_HEAD_IN_SCAN", "1") == "1",
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)

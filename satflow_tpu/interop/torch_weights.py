@@ -194,8 +194,12 @@ def load_torch_convlstm(model, state_dict: Dict[str, Any]) -> Dict[str, Any]:
             raise KeyError(f"unmapped hoisted input convs: {sorted(pending)}")
 
     head_w = conv3d_kernel(state_dict["model.decoder_CNN.weight"])  # (1,3,3,H,O)
-    _set_path(params, "head/kernel", head_w[0])
-    _set_path(params, "head/bias", _np(state_dict["model.decoder_CNN.bias"]))
+    # head lives at the top level (head_in_scan=False) or inside the decoder
+    # scan module (head_in_scan=True, the memory-saving default)
+    head_prefix = "head" if "head" in params else "decoder/head"
+    _set_path(params, f"{head_prefix}/kernel", head_w[0])
+    _set_path(params, f"{head_prefix}/bias",
+              _np(state_dict["model.decoder_CNN.bias"]))
 
     model.restored_variables = {"params": params}
     return model.restored_variables

@@ -21,8 +21,10 @@ entirely on-chip:
   K = 64 of a naive per-tap formulation.
 - The f32 accumulator, gate nonlinearities and state update never leave VMEM.
 
-Flag-gated with an exact XLA fallback; custom VJP routes the backward through
-the reference ops (forward latency is what the rollout bench measures).
+Flag-gated with an exact XLA fallback. The custom VJP is fused too: one
+Pallas kernel recomputes the gates and runs the whole gate-math backward in
+VMEM (emitting dgates + dc_prev), and the four linear conv grads ride XLA's
+dense conv tilings (see ``_bwd`` below).
 """
 
 from __future__ import annotations
@@ -142,6 +144,145 @@ def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False):
 _SCRATCH_IM2COL = False
 
 
+# ---------------------------------------------------------------------------
+# Halo-tensor variant: each input block fetched ONCE (+2 halo rows)
+#
+# The prev/cur/next blocked-index-map trick fetches every x and h block three
+# times — a 3x input overfetch that leaves the kernel ~40% DMA / ~40% MXU,
+# poorly overlapped (measured r1: 3.77 ms/call at B=16, 256px). Here the two
+# halo rows per block are gathered OUTSIDE the kernel into a small side
+# tensor (B, n_blocks, 2, W+2, C) with the edge zeros baked in, so the kernel
+# reads each block exactly once plus 2/block_h extra rows, and drops the
+# boundary masking entirely.
+# ---------------------------------------------------------------------------
+
+
+def _build_halo(xp: jax.Array, block_h: int) -> jax.Array:
+    """(B, H, W+2, C) padded input -> (B, n_blocks, 2, W+2, C) halo rows.
+
+    halo[:, r, 0] is the row above block r (zeros for r=0) and halo[:, r, 1]
+    the row below (zeros for the last block).
+    """
+    bsz, height, wp, c = xp.shape
+    n_blocks = height // block_h
+    zero = jnp.zeros((bsz, 1, wp, c), xp.dtype)
+    # row above block r = global row r*bh - 1; below = row (r+1)*bh
+    tops = jnp.concatenate([zero, xp[:, block_h - 1 :: block_h][:, :-1]], axis=1)
+    bots = jnp.concatenate([xp[:, block_h::block_h], zero], axis=1)
+    return jnp.stack([tops, bots], axis=2)  # (B, n_blocks, 2, W+2, C)
+
+
+def _make_kernel_halo(block_h: int, width: int):
+    def kernel(x_cur, x_halo, h_cur, h_halo, c_ref, w_ref, b_ref,
+               hout_ref, cout_ref):
+        ch = cout_ref.shape[-1]
+        rows = block_h * width
+
+        def slab(cur, halo):
+            # halo block: (1, 1, 2, W+2, C) — row above then row below
+            return jnp.concatenate(
+                [halo[0, 0, 0:1], cur[0], halo[0, 0, 1:2]], axis=0
+            )  # (bh+2, W+2, C)
+
+        x_slab = slab(x_cur, x_halo)
+        h_slab = slab(h_cur, h_halo)
+        acc = jnp.zeros((rows, 4 * ch), jnp.float32)
+        for dy in range(3):
+            win = jnp.concatenate(
+                [
+                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                    for s in (x_slab,)
+                    for dx in range(3)
+                ]
+                + [
+                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                    for s in (h_slab,)
+                    for dx in range(3)
+                ],
+                axis=1,
+            )
+            acc += jnp.dot(win, w_ref[dy], preferred_element_type=jnp.float32)
+        acc += b_ref[0].astype(jnp.float32)
+
+        c = c_ref[0].astype(jnp.float32).reshape(rows, ch)
+        i = acc[:, 0 * ch : 1 * ch]
+        f = acc[:, 1 * ch : 2 * ch]
+        o = acc[:, 2 * ch : 3 * ch]
+        g = acc[:, 3 * ch : 4 * ch]
+        c_next = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
+        cout_ref[0] = c_next.reshape(block_h, width, ch).astype(cout_ref.dtype)
+        hout_ref[0] = h_next.reshape(block_h, width, ch).astype(hout_ref.dtype)
+
+    return kernel
+
+
+def _step_pallas_halo(x, h, c, wx, wh, b, block_h: int = 8):
+    bsz, height, width, cx = x.shape
+    ch = c.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    x_halo = _build_halo(xp, block_h)
+    h_halo = _build_halo(hp, block_h)
+    w3 = jnp.concatenate(
+        [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
+    )
+    b2 = b.reshape(1, 4 * ch)
+    n_blocks = height // block_h
+    grid = (bsz, n_blocks)
+
+    def blk_spec(c_feat):
+        return pl.BlockSpec(
+            (1, block_h, width + 2, c_feat), lambda bi, r: (bi, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(c_feat):
+        return pl.BlockSpec(
+            (1, 1, 2, width + 2, c_feat), lambda bi, r: (bi, r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda bi, r: (0,) * ndim, memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec(
+        (1, block_h, width, ch), lambda bi, r: (bi, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_next, c_next = pl.pallas_call(
+        _make_kernel_halo(block_h, width),
+        grid=grid,
+        in_specs=[
+            blk_spec(cx), halo_spec(cx),
+            blk_spec(ch), halo_spec(ch),
+            out_spec,
+            full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
+            full_spec((1, 4 * ch)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
+            jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(xp, x_halo, hp, h_halo, c, w3, b2)
+    return h_next, c_next
+
+
+# Kernel variant switch: "3pass" = prev/cur/next triple-fetch formulation;
+# "halo" = single-fetch + halo side tensor (above). MEASURED on v5e at the
+# production rollout (256px, B=16, Ch=64): 3pass 1016 f/s vs halo 880 f/s —
+# the 3x block overfetch is well hidden by the sequential-row pipeline, while
+# the halo variant pays two extra tiny (2, W+2, C) DMAs per grid step plus a
+# strided halo gather per scan step. Kept for re-evaluation at other shapes.
+_STEP_VARIANT = "3pass"
+
+
 def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vmem
     bsz, height, width, cx = x.shape
     ch = c.shape[-1]
@@ -217,6 +358,11 @@ def fused_convlstm_step(x, h, c, wx, wh, b, use_pallas: Optional[bool] = None):
             and wx.shape[:2] == (3, 3)
         )
     if use:
+        import os
+
+        variant = os.environ.get("SATFLOW_STEP_VARIANT", _STEP_VARIANT)
+        if variant == "halo":
+            return _step_pallas_halo(x, h, c, wx, wh, b)
         return _step_pallas(x, h, c, wx, wh, b)
     return _step_ref(x, h, c, wx, wh, b)
 
@@ -226,10 +372,204 @@ def _fwd(x, h, c, wx, wh, b, use_pallas):
     return out, (x, h, c, wx, wh, b)
 
 
+# ---------------------------------------------------------------------------
+# Fused backward: recompute gates + gate-math backward in ONE Pallas kernel.
+#
+# The step's backward splits into (a) the nonlinear gate chain and (b) four
+# linear convolutions. (a) is where XLA pays an extra forward recompute plus a
+# long elementwise chain over (B, H, W, 4C) HBM tensors; the kernel below does
+# the recompute *and* the chain in VMEM, emitting dgates and dc_prev in one
+# pass (same matmul cost as the forward). (b) — dx/dh transposed convs and
+# dWx/dWh weight-grad convs — are large dense contractions XLA already tiles
+# well; they are taken as VJPs of the linear conv (no recompute: conv is
+# linear in each argument).
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(block_h: int, width: int):
+    def kernel(
+        x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
+        w_ref, b_ref, dh_ref, dc_ref, dgates_ref, dcprev_ref,
+    ):
+        r = pl.program_id(1)
+        n_r = pl.num_programs(1)
+        ch = dcprev_ref.shape[-1]
+        rows = block_h * width
+
+        def slab(prev, cur, nxt):
+            top = prev[0, block_h - 1 : block_h, :, :]
+            bot = nxt[0, 0:1, :, :]
+            top = jnp.where(r > 0, top, jnp.zeros_like(top))
+            bot = jnp.where(r < n_r - 1, bot, jnp.zeros_like(bot))
+            return jnp.concatenate([top, cur[0], bot], axis=0)
+
+        x_slab = slab(x_prev, x_cur, x_nxt)
+        h_slab = slab(h_prev, h_cur, h_nxt)
+        acc = jnp.zeros((rows, 4 * ch), jnp.float32)
+        for dy in range(3):
+            win = jnp.concatenate(
+                [
+                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                    for s in (x_slab,)
+                    for dx in range(3)
+                ]
+                + [
+                    s[dy : dy + block_h, dx : dx + width, :].reshape(rows, -1)
+                    for s in (h_slab,)
+                    for dx in range(3)
+                ],
+                axis=1,
+            )
+            acc += jnp.dot(win, w_ref[dy], preferred_element_type=jnp.float32)
+        acc += b_ref[0].astype(jnp.float32)
+
+        c = c_ref[0].astype(jnp.float32).reshape(rows, ch)
+        dh_next = dh_ref[0].astype(jnp.float32).reshape(rows, ch)
+        dc_next = dc_ref[0].astype(jnp.float32).reshape(rows, ch)
+
+        si = jax.nn.sigmoid(acc[:, 0 * ch : 1 * ch])
+        sf = jax.nn.sigmoid(acc[:, 1 * ch : 2 * ch])
+        so = jax.nn.sigmoid(acc[:, 2 * ch : 3 * ch])
+        tg = jnp.tanh(acc[:, 3 * ch : 4 * ch])
+        c_next = sf * c + si * tg
+        tc = jnp.tanh(c_next)
+
+        do_pre = dh_next * tc * so * (1.0 - so)
+        dct = dc_next + dh_next * so * (1.0 - tc * tc)
+        di_pre = dct * tg * si * (1.0 - si)
+        df_pre = dct * c * sf * (1.0 - sf)
+        dg_pre = dct * si * (1.0 - tg * tg)
+        dc_prev = dct * sf
+
+        dgates = jnp.concatenate([di_pre, df_pre, do_pre, dg_pre], axis=1)
+        dgates_ref[0] = dgates.reshape(block_h, width, 4 * ch).astype(
+            dgates_ref.dtype
+        )
+        dcprev_ref[0] = dc_prev.reshape(block_h, width, ch).astype(
+            dcprev_ref.dtype
+        )
+
+    return kernel
+
+
+def _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next):
+    """XLA reference of the fused backward kernel: (dgates, dc_prev)."""
+    f32 = jnp.float32
+    gates = (_conv3x3(x, wx) + _conv3x3(h, wh) + b).astype(f32)
+    i, f, o, g = jnp.split(gates, 4, axis=-1)
+    si, sf, so, tg = (
+        jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o), jnp.tanh(g)
+    )
+    c = c.astype(f32)
+    c_next = sf * c + si * tg
+    tc = jnp.tanh(c_next)
+    dh_next = dh_next.astype(f32)
+    dc_next = dc_next.astype(f32)
+    do_pre = dh_next * tc * so * (1.0 - so)
+    dct = dc_next + dh_next * so * (1.0 - tc * tc)
+    di_pre = dct * tg * si * (1.0 - si)
+    df_pre = dct * c * sf * (1.0 - sf)
+    dg_pre = dct * si * (1.0 - tg * tg)
+    dc_prev = dct * sf
+    dgates = jnp.concatenate([di_pre, df_pre, do_pre, dg_pre], axis=-1)
+    return dgates.astype(x.dtype), dc_prev.astype(x.dtype)
+
+
+def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
+                     block_h: Optional[int] = None):
+    bsz, height, width, cx = x.shape
+    ch = c.shape[-1]
+    if block_h is None:
+        # The backward carries ~4 MB more VMEM than the forward (dh/dc inputs,
+        # dgates output + f32 accumulator); at W=256 block_h=8 exceeds the
+        # 16 MB scoped limit by 1.5 MB (measured) — halve the row block there.
+        block_h = 8 if width * ch < 128 * 128 else 4
+        while height % block_h:
+            block_h //= 2
+        block_h = max(block_h, 1)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    w3 = jnp.concatenate(
+        [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
+    )
+    b2 = b.reshape(1, 4 * ch)
+    n_blocks = height // block_h
+    grid = (bsz, n_blocks)
+
+    def row_spec(c_feat, offset):
+        def index_map(bi, r, _offset=offset):
+            return (bi, jnp.clip(r + _offset, 0, n_blocks - 1), 0, 0)
+
+        return pl.BlockSpec(
+            (1, block_h, width + 2, c_feat), index_map, memory_space=pltpu.VMEM
+        )
+
+    def full_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda bi, r: (0,) * ndim, memory_space=pltpu.VMEM)
+
+    def out_spec(c_feat):
+        return pl.BlockSpec(
+            (1, block_h, width, c_feat), lambda bi, r: (bi, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    dgates, dc_prev = pl.pallas_call(
+        _make_bwd_kernel(block_h, width),
+        grid=grid,
+        in_specs=[
+            row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
+            row_spec(ch, -1), row_spec(ch, 0), row_spec(ch, +1),
+            out_spec(ch),  # c
+            full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
+            full_spec((1, 4 * ch)),
+            out_spec(ch),  # dh_next
+            out_spec(ch),  # dc_next
+        ],
+        out_specs=(out_spec(4 * ch), out_spec(ch)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, height, width, 4 * ch), x.dtype),
+            jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(xp, xp, xp, hp, hp, hp, c, w3, b2, dh_next, dc_next)
+    return dgates, dc_prev
+
+
 def _bwd(use_pallas, residuals, cotangents):
     x, h, c, wx, wh, b = residuals
-    _, vjp = jax.vjp(lambda *a: _step_ref(*a), x, h, c, wx, wh, b)
-    return vjp(cotangents)
+    dh_next, dc_next = cotangents
+    use = use_pallas
+    if use is None:
+        use = (
+            pallas_available()
+            and x.shape[1] % 8 == 0
+            and c.shape[-1] % 8 == 0
+            and wx.shape[:2] == (3, 3)
+        )
+    import os
+
+    if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":  # A/B toggle
+        use = False
+    if use:
+        dgates, dc_prev = _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next)
+    else:
+        dgates, dc_prev = _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next)
+    # Linear pieces: conv is linear in each argument, so these VJPs are the
+    # standard transposed/weight-grad convs with no recompute.
+    _, vjp_x = jax.vjp(lambda x_: _conv3x3(x_, wx), x)
+    (dx,) = vjp_x(dgates)
+    _, vjp_h = jax.vjp(lambda h_: _conv3x3(h_, wh), h)
+    (dh,) = vjp_h(dgates)
+    _, vjp_wx = jax.vjp(lambda w_: _conv3x3(x, w_), wx)
+    (dwx,) = vjp_wx(dgates)
+    _, vjp_wh = jax.vjp(lambda w_: _conv3x3(h, w_), wh)
+    (dwh,) = vjp_wh(dgates)
+    db = dgates.sum(axis=(0, 1, 2)).astype(b.dtype)
+    return dx, dh, dc_prev, dwx, dwh, db
 
 
 fused_convlstm_step.defvjp(_fwd, _bwd)

@@ -42,6 +42,28 @@ def test_interpret_kernel_boundary_rows(rng, monkeypatch):
     )
 
 
+def test_interpret_halo_variant_matches_reference(rng, monkeypatch):
+    """Single-fetch halo-tensor kernel == reference, incl. boundary rows."""
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    for shape in [dict(b=2, hgt=16, wdt=16, cx=4, ch=8),
+                  dict(b=1, hgt=8, wdt=8, cx=3, ch=8)]:
+        args = _random_inputs(rng, **shape)
+        h_ref, c_ref = F._step_ref(*args)
+        h_k, c_k = F._step_pallas_halo(*args)
+        np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref), atol=2e-5)
+
+
+def test_build_halo_rows(rng):
+    xp = jax.random.normal(rng, (2, 16, 10, 4))
+    halo = F._build_halo(xp, 8)
+    assert halo.shape == (2, 2, 2, 10, 4)
+    np.testing.assert_array_equal(np.asarray(halo[:, 0, 0]), 0.0)  # top edge
+    np.testing.assert_array_equal(np.asarray(halo[:, 1, 1]), 0.0)  # bottom edge
+    np.testing.assert_allclose(np.asarray(halo[:, 0, 1]), np.asarray(xp[:, 8]))
+    np.testing.assert_allclose(np.asarray(halo[:, 1, 0]), np.asarray(xp[:, 7]))
+
+
 def test_fallback_cpu_path(rng):
     args = _random_inputs(rng)
     h1, c1 = F.fused_convlstm_step(*args)  # auto: fallback on CPU
@@ -64,3 +86,59 @@ def test_vjp_matches_autodiff(rng):
     g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gate_bwd_ref_matches_autodiff(rng):
+    """The hand-derived gate backward (the Pallas kernel's math) must equal
+    jax.vjp of the reference step for every input cotangent."""
+    args = _random_inputs(rng, b=2, hgt=8, wdt=8, cx=3, ch=8)
+    x, h, c, wx, wh, bias = args
+    k1, k2 = jax.random.split(rng)
+    dh_next = jax.random.normal(k1, c.shape)
+    dc_next = jax.random.normal(k2, c.shape)
+
+    _, vjp = jax.vjp(lambda *a: F._step_ref(*a), *args)
+    dx_r, dh_r, dc_r, dwx_r, dwh_r, db_r = vjp((dh_next, dc_next))
+
+    dx, dh, dc_prev, dwx, dwh, db = F._bwd(
+        False, args, (dh_next, dc_next)
+    )
+    for got, ref in [(dx, dx_r), (dh, dh_r), (dc_prev, dc_r),
+                     (dwx, dwx_r), (dwh, dwh_r), (db, db_r)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_interpret_bwd_kernel_matches_ref(rng, monkeypatch):
+    """Pallas backward kernel (interpret mode) == the XLA gate-backward."""
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    args = _random_inputs(rng, b=2, hgt=16, wdt=16, cx=4, ch=8)
+    x, h, c, wx, wh, bias = args
+    k1, k2 = jax.random.split(rng)
+    dh_next = jax.random.normal(k1, c.shape)
+    dc_next = jax.random.normal(k2, c.shape)
+    dg_ref, dc_ref = F._gate_bwd_ref(x, h, c, wx, wh, bias, dh_next, dc_next)
+    dg_k, dc_k = F._gate_bwd_pallas(x, h, c, wx, wh, bias, dh_next, dc_next)
+    np.testing.assert_allclose(np.asarray(dg_k), np.asarray(dg_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dc_k), np.asarray(dc_ref), atol=2e-5)
+
+
+def test_full_custom_vjp_pallas_interpret(rng, monkeypatch):
+    """End-to-end grad through the custom VJP with the Pallas path forced
+    (interpret mode) equals autodiff of the reference step."""
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    args = _random_inputs(rng, b=1, hgt=8, wdt=8, cx=8, ch=8)
+
+    def loss_pallas(*a):
+        h, c = F.fused_convlstm_step(*a, use_pallas=True)
+        return jnp.sum(h * h) + jnp.sum(c * c)
+
+    def loss_ref(*a):
+        h, c = F._step_ref(*a)
+        return jnp.sum(h * h) + jnp.sum(c * c)
+
+    g1 = jax.grad(loss_pallas, argnums=tuple(range(6)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -182,6 +182,42 @@ def test_pixelcnn_causality(rng):
     )
 
 
+def _copy_head(dst_params, src_params):
+    """Copy the output-head conv across cores regardless of where it lives
+    (top level when head_in_scan=False, decoder/head when True)."""
+    head = src_params.get("head") or src_params["decoder"]["head"]
+    if "head" in dst_params:
+        dst_params["head"] = head
+    else:
+        dst_params["decoder"]["head"] = head
+
+
+def test_head_in_scan_matches_folded_head(rng):
+    """head_in_scan=True (per-step head, 5.3x less stacked memory) must equal
+    the folded-BT head exactly, modulo the head param's location."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    import flax
+
+    x = jax.random.uniform(rng, (1, 3, 8, 8, 4))
+    folded = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=3,
+                          cell_impl="concat", head_in_scan=False)
+    in_scan = ConvLSTMCore(hidden_dim=8, out_channels=2, forecast_steps=3,
+                           cell_impl="concat", head_in_scan=True)
+    fv = folded.init(rng, x)
+    sv = in_scan.init(rng, x)
+    sp = flax.core.unfreeze(jax.tree_util.tree_map(lambda a: a, fv))["params"]
+    sp["decoder"] = dict(sp.get("decoder", {}))
+    sp["decoder"]["head"] = sp.pop("head")
+    # cells share names/paths between the two variants
+    for k in sv["params"]["decoder"]:
+        if k != "head":
+            sp["decoder"][k] = fv["params"]["decoder"][k]
+    out_folded = folded.apply(fv, x)
+    out_scan = in_scan.apply({"params": sp}, x)
+    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_scan),
+                               atol=2e-5)
+
+
 def test_split_cell_matches_concat_cell(rng):
     """The split-conv fast path must equal the concat formulation exactly
     (conv over concat([x,h]) == conv_x(x) + conv_h(h))."""
@@ -218,7 +254,7 @@ def test_split_cell_matches_concat_cell(rng):
         sp[parent][src]["x_gates"]["kernel"] = kx
         sp[parent][src]["x_gates"]["bias"] = cp[parent][src]["gates"]["bias"]
         sp[parent][src]["h_gates"]["kernel"] = kh
-    sp["head"] = cp["head"]
+    _copy_head(sp, cp)
 
     out_concat = concat_core.apply(cv, x)
     out_split = split_core.apply({"params": sp}, x)
@@ -251,7 +287,7 @@ def test_fused_cell_matches_concat_cell(rng):
             fp[parent][name]["x_gates_kernel"] = k[:, :, :cin]
             fp[parent][name]["h_gates_kernel"] = k[:, :, cin:]
             fp[parent][name]["bias"] = cp[parent][name]["gates"]["bias"]
-    fp["head"] = cp["head"]
+    _copy_head(fp, cp)
 
     out_concat = concat_core.apply(cv, x)
     out_fused = fused_core.apply({"params": fp}, x)
