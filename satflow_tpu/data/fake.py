@@ -130,3 +130,32 @@ class AdvectionDataset(FakeDataset):
         x[consts.SATELLITE_DATA] = frames[:, : self.seq_length]
         y[consts.SATELLITE_DATA] = frames[:, self.seq_length :]
         return x, y
+
+
+class DecayingAdvectionDataset(AdvectionDataset):
+    """Advection + multiplicative intensity decay: the accuracy-gate dataset.
+
+    Dynamics: frame(t) = roll(base, t·v) · decay^t. Persistence fails on the
+    motion; an optical-flow warp recovers the motion but not the decay (warping
+    preserves intensity); a trained model can learn both — so this is the
+    synthetic dataset on which a *trained* model must beat BOTH baselines
+    (the rebuild's analog of the reference's flow-vs-persistence MSE study,
+    reference satflow/baseline/README.md:13-25).
+    """
+
+    def __init__(self, *args, decay: float = 0.92, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.decay = decay
+
+    def __getitem__(self, idx: int):
+        x, y = super().__getitem__(idx)
+        past = x[consts.SATELLITE_DATA]
+        future = y[consts.SATELLITE_DATA]
+        s = past.shape[1]
+        t_past = self.decay ** np.arange(s, dtype=np.float32)
+        t_future = self.decay ** np.arange(
+            s, s + future.shape[1], dtype=np.float32
+        )
+        x[consts.SATELLITE_DATA] = past * t_past[None, :, None, None, None]
+        y[consts.SATELLITE_DATA] = future * t_future[None, :, None, None, None]
+        return x, y

@@ -1,0 +1,63 @@
+"""Accuracy gate: a *trained* model must beat persistence AND optical flow.
+
+Closes the loop the reference's baseline study defines (reference
+satflow/baseline/README.md:13-25: flow MSE 0.1541 vs persistence 0.1566 —
+models are useful only if they beat both). On DecayingAdvectionDataset the
+flow baseline recovers the motion but not the intensity decay, persistence
+recovers neither — a trained ConvLSTM must beat both (VERDICT r1 #2).
+"""
+
+import numpy as np
+import pytest
+
+from satflow_tpu.baseline.optical_flow import run_baseline
+from satflow_tpu.core.registry import create_model
+from satflow_tpu.data.datamodule import SatFlowDataModule
+from satflow_tpu.data.fake import DecayingAdvectionDataset
+from satflow_tpu.eval.evaluate import evaluate_model
+from satflow_tpu.train.engine import Trainer
+import satflow_tpu.models  # noqa: F401
+
+DS_KW = dict(batch_size=8, width=16, height=16, number_sat_channels=1,
+             history_minutes=15, forecast_minutes=30, velocity=(1, 1),
+             decay=0.9, n_blobs=3, seed=0)
+
+
+class DecayDM(SatFlowDataModule):
+    def __init__(self, **kwargs):
+        super().__init__(fake_data=True, num_workers=0, shard=False, **kwargs)
+
+    def _dataset(self, split, n):
+        seed = {"train": 0, "validation": 100, "test": 200}[split]
+        return DecayingAdvectionDataset(length=8, **{**DS_KW, "seed": seed})
+
+
+def test_trained_model_beats_persistence_and_flow():
+    eval_ds = DecayingAdvectionDataset(length=2, **{**DS_KW, "seed": 300})
+
+    # Baselines on the held-out set.
+    base = run_baseline(eval_ds, forecast_steps=6, flow_method="farneback",
+                        max_batches=2)
+    persist_mse = float(np.mean(base["baseline_loss"]))
+    flow_mse = float(np.mean(base["flow_loss"]))
+    # Sanity of the gate itself: flow beats persistence but is NOT oracle here.
+    assert flow_mse < persist_mse
+
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=1, out_channels=1,
+        forecast_steps=6, hidden_dim=16, lr=5e-3,
+    )
+    trainer = Trainer(max_epochs=10, log_every_n_steps=50, seed=0)
+    trainer.fit(model, DecayDM())
+
+    variables = {"params": trainer.state.params, **trainer.state.model_state}
+    curves = evaluate_model(model, variables, eval_ds, max_batches=2,
+                            compute_ms_ssim=False)
+    model_mse = float(np.mean(curves["mse"]))
+
+    assert model_mse < persist_mse, (
+        f"trained model ({model_mse:.4f}) must beat persistence ({persist_mse:.4f})"
+    )
+    assert model_mse < flow_mse, (
+        f"trained model ({model_mse:.4f}) must beat optical flow ({flow_mse:.4f})"
+    )
