@@ -26,8 +26,11 @@ HISTORY_STEPS = 7  # 30 min history + now
 FORECAST_STEPS = 24
 SIZE = 256
 CHANNELS = 12
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # v5e optimum (b8: 640, b16: 656, b32: 486 f/s in the u8-XLA era)
-UNROLL = int(os.environ.get("BENCH_UNROLL", "8"))
+# v5e optimum, retuned r2: with the fused+padded-IO cell, batch scales past 16
+# (b16: 1016, b24: 1089, b32: 1119, b48: 1131 at u8; u24: b32 1160, b40 1163,
+# b48 1171; b64 OOMs HBM). Padded-IO on top of b48/u24: 1339 f/s.
+BATCH = int(os.environ.get("BENCH_BATCH", "48"))
+UNROLL = int(os.environ.get("BENCH_UNROLL", "24"))
 HIDDEN = 64
 
 
@@ -41,7 +44,7 @@ def main():
         hidden_dim=HIDDEN,
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
-        cell_impl="fused",  # fully fused Pallas cell: 656 -> 880 f/s
+        cell_impl="fused",  # fully fused Pallas cell, padded-IO h states
         unroll=UNROLL,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
         head_in_scan=os.environ.get("BENCH_HEAD_IN_SCAN", "1") == "1",
         dtype=jnp.bfloat16,

@@ -42,11 +42,13 @@ class _EncoderStepFused(nn.Module):
 
     @nn.compact
     def __call__(self, carry, x_t):
+        # padded-IO throughout: x_t arrives (B, H, W+2, C); h states stay
+        # (W+2)-padded across the scan — no per-step jnp.pad round-trips.
         s1, s2 = carry
-        s1, h1 = FusedConvLSTMCell(self.features, dtype=self.dtype,
-                                   name="encoder_1")(s1, x_t)
-        s2, h2 = FusedConvLSTMCell(self.features, dtype=self.dtype,
-                                   name="encoder_2")(s2, h1)
+        s1, h1 = FusedConvLSTMCell(self.features, padded_io=True,
+                                   dtype=self.dtype, name="encoder_1")(s1, x_t)
+        s2, h2 = FusedConvLSTMCell(self.features, padded_io=True,
+                                   dtype=self.dtype, name="encoder_2")(s2, h1)
         return (s1, s2), h2
 
 
@@ -58,11 +60,17 @@ class _DecoderStepFused(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         s3, s4, v = carry
-        s3, h3 = FusedConvLSTMCell(self.features, dtype=self.dtype,
-                                   name="decoder_1")(s3, v)
-        s4, h4 = FusedConvLSTMCell(self.features, dtype=self.dtype,
-                                   name="decoder_2")(s4, h3)
-        out = _maybe_head(h4, self.head_channels, self.dtype)
+        s3, h3 = FusedConvLSTMCell(self.features, padded_io=True,
+                                   dtype=self.dtype, name="decoder_1")(s3, v)
+        s4, h4 = FusedConvLSTMCell(self.features, padded_io=True,
+                                   dtype=self.dtype, name="decoder_2")(s4, h3)
+        # h4 is (B, H, W+2, C): the head consumes it with VALID-W padding;
+        # without a head, emit the unpadded frame for the output stack.
+        out = (
+            _maybe_head(h4, self.head_channels, self.dtype, padded_w=True)
+            if self.head_channels
+            else h4[:, :, 1:-1]
+        )
         return (s3, s4, h4), out
 
 
@@ -134,7 +142,8 @@ class _DecoderStep(nn.Module):
         return (s3, s4, h4), out
 
 
-def _maybe_head(h4: jax.Array, head_channels: int, dtype) -> jax.Array:
+def _maybe_head(h4: jax.Array, head_channels: int, dtype,
+                padded_w: bool = False) -> jax.Array:
     """Apply the (1,3,3)-Conv3d-equivalent output head inside the scan step.
 
     With the head in-scan, the decoder stacks (B, T, H, W, out) frames instead
@@ -142,10 +151,15 @@ def _maybe_head(h4: jax.Array, head_channels: int, dtype) -> jax.Array:
     stacked activation (and gradient) memory, the difference between OOM and
     fitting for 256px training (measured 25.1 GB -> fits in 15.75 GB HBM).
     Identical math: the head is a per-frame 3x3 conv either way.
+
+    ``padded_w``: h4 arrives (B, H, W+2, C) from a padded-IO cell — the head
+    conv then runs SAME on H but VALID on W (its zero halo columns ARE the
+    conv's W padding), yielding (B, H, W, out) with zero extra copies.
     """
     if not head_channels:
         return h4
-    return nn.Conv(head_channels, (3, 3), padding="SAME", dtype=dtype,
+    padding = ((1, 1), (0, 0)) if padded_w else "SAME"
+    return nn.Conv(head_channels, (3, 3), padding=padding, dtype=dtype,
                    name="head")(h4)
 
 
@@ -209,10 +223,17 @@ class ConvLSTMCore(nn.Module):
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
         )
         if fused:
+            # padded-IO flow: pad the input sequence's W ONCE; h states stay
+            # (W+2)-padded across both scans (no per-step pad round-trips).
+            xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+            init_p = (
+                FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
+                FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
+            )
             encoder = nn.scan(step_cls(_EncoderStepFused), **scan_kwargs)(
                 self.hidden_dim, self.dtype, name="encoder"
             )
-            (s1, s2), _ = encoder(init, x)
+            (s1, s2), _ = encoder(init_p, xpad)
         elif split_enc:
             # all encoder input-side gate convs in ONE folded batch conv
             xg = InputGateConv(self.hidden_dim, dtype=self.dtype,
@@ -243,11 +264,18 @@ class ConvLSTMCore(nn.Module):
                 self.hidden_dim, self.conv_type, self.dtype, head_ch,
                 name="decoder"
             )
-        dec_init = (
-            ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
-            ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
-            encoder_vector,
-        )
+        if fused:
+            dec_init = (
+                FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
+                FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
+                encoder_vector,  # padded h from the encoder
+            )
+        else:
+            dec_init = (
+                ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
+                ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
+                encoder_vector,
+            )
         # (1,3,3) Conv3d head == per-frame 3x3 conv (conv_lstm.py:163-169,
         # 198-202) — applied per scan step (head_in_scan) or folded over B·T.
         _, out_seq = decoder(dec_init, None)

@@ -140,11 +140,18 @@ class FusedConvLSTMCell(nn.Module):
     features: int
     kernel_size: int = 3
     use_bias: bool = True
+    #: padded_io: x and carry-h arrive (and h leaves) in (W+2)-padded layout,
+    #: eliminating the per-step jnp.pad HBM round-trips inside scans (c stays
+    #: unpadded — it is elementwise-only).
+    padded_io: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, carry: Tuple[jax.Array, jax.Array], x: jax.Array):
-        from satflow_tpu.ops.pallas.fused_convlstm_step import fused_convlstm_step
+        from satflow_tpu.ops.pallas.fused_convlstm_step import (
+            fused_convlstm_step,
+            fused_convlstm_step_padded,
+        )
 
         h, c = carry
         k = self.kernel_size
@@ -162,7 +169,8 @@ class FusedConvLSTMCell(nn.Module):
             else jnp.zeros((4 * self.features,), x.dtype)
         )
         cdtype = self.dtype or x.dtype
-        h_next, c_next = fused_convlstm_step(
+        step = fused_convlstm_step_padded if self.padded_io else fused_convlstm_step
+        h_next, c_next = step(
             x.astype(cdtype), h.astype(cdtype), c.astype(cdtype),
             wx.astype(cdtype), wh.astype(cdtype), b.astype(cdtype),
         )
@@ -171,6 +179,15 @@ class FusedConvLSTMCell(nn.Module):
     @staticmethod
     def init_carry(batch: int, h: int, w: int, features: int, dtype=jnp.float32):
         return zeros_carry(batch, h, w, features, 2, dtype)
+
+    @staticmethod
+    def init_carry_padded(batch: int, h: int, w: int, features: int,
+                          dtype=jnp.float32):
+        """(h padded to W+2, c unpadded) zero carry for padded_io cells."""
+        return (
+            jnp.zeros((batch, h, w + 2, features), dtype),
+            jnp.zeros((batch, h, w, features), dtype),
+        )
 
 
 class InputGateConv(nn.Module):

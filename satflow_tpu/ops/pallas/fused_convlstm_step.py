@@ -69,7 +69,8 @@ def _step_ref(x, h, c, wx, wh, b):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False):
+def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False,
+                 padded_out: bool = False):
     def kernel(
         x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
         w_ref, b_ref, hout_ref, cout_ref, *maybe_scratch,
@@ -132,7 +133,14 @@ def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False):
         c_next = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
         cout_ref[0] = c_next.reshape(block_h, width, ch).astype(cout_ref.dtype)
-        hout_ref[0] = h_next.reshape(block_h, width, ch).astype(hout_ref.dtype)
+        h_next = h_next.reshape(block_h, width, ch).astype(hout_ref.dtype)
+        if padded_out:
+            # h_out keeps the (W+2) padded layout so the NEXT step's conv
+            # consumes it without a jnp.pad HBM round-trip: zero halo columns.
+            zcol = jnp.zeros((block_h, 1, ch), hout_ref.dtype)
+            hout_ref[0] = jnp.concatenate([zcol, h_next, zcol], axis=1)
+        else:
+            hout_ref[0] = h_next
 
     return kernel
 
@@ -346,6 +354,183 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
     return h_next, c_next
 
 
+# ---------------------------------------------------------------------------
+# Padded-IO step: x/h arrive AND h leaves in (W+2)-padded layout
+#
+# Inside a scan, every step re-pads its conv inputs (x=v and h per cell):
+# four (B, H, W+2, C) HBM round-trips per decoder step at production shapes
+# (~0.5 GB/call at B=16). Keeping h in padded layout across the whole scan —
+# the kernel writes zero halo columns directly — removes those pads entirely;
+# the output head then consumes the padded array with VALID-W padding.
+# ---------------------------------------------------------------------------
+
+
+def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h: int = 8):
+    bsz, height, wp2, cx = xp.shape
+    width = wp2 - 2
+    ch = c.shape[-1]
+    w3 = jnp.concatenate(
+        [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
+    )
+    b2 = b.reshape(1, 4 * ch)
+    n_blocks = height // block_h
+    grid = (bsz, n_blocks)
+
+    def row_spec(c_feat, offset):
+        def index_map(bi, r, _offset=offset):
+            return (bi, jnp.clip(r + _offset, 0, n_blocks - 1), 0, 0)
+
+        return pl.BlockSpec(
+            (1, block_h, width + 2, c_feat), index_map, memory_space=pltpu.VMEM
+        )
+
+    def full_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda bi, r: (0,) * ndim, memory_space=pltpu.VMEM)
+
+    c_spec = pl.BlockSpec(
+        (1, block_h, width, ch), lambda bi, r: (bi, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hout_spec = pl.BlockSpec(
+        (1, block_h, width + 2, ch), lambda bi, r: (bi, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_next, c_next = pl.pallas_call(
+        _make_kernel(block_h, width, padded_out=True),
+        grid=grid,
+        in_specs=[
+            row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
+            row_spec(ch, -1), row_spec(ch, 0), row_spec(ch, +1),
+            c_spec,
+            full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
+            full_spec((1, 4 * ch)),
+        ],
+        out_specs=(hout_spec, c_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, height, width + 2, ch), xp.dtype),
+            jax.ShapeDtypeStruct((bsz, height, width, ch), xp.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(xp, xp, xp, hp, hp, hp, c, w3, b2)
+    return h_next, c_next
+
+
+def _pad_w(a):
+    return jnp.pad(a, ((0, 0), (0, 0), (1, 1), (0, 0)))
+
+
+def _conv3x3_padded(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """conv3x3 over an already-W-padded input: SAME on H, VALID on W.
+
+    ``_conv3x3_padded(pad_w(x), w) == _conv3x3(x, w)`` — used by the padded
+    backward so the linear-grad VJPs consume/produce (W+2) arrays directly
+    (no slice/re-pad copies per step)."""
+    return jax.lax.conv_general_dilated(
+        xp, w, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _step_ref_padded(xp, hp, c, wx, wh, b):
+    h_next, c_next = _step_ref(xp[:, :, 1:-1], hp[:, :, 1:-1], c, wx, wh, b)
+    return _pad_w(h_next), c_next
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_convlstm_step_padded(xp, hp, c, wx, wh, b,
+                               use_pallas: Optional[bool] = None):
+    """Padded-IO ConvLSTM step: x/h (B, H, W+2, C) -> (h' padded, c')."""
+    use = use_pallas
+    if use is None:
+        use = (
+            pallas_available()
+            and xp.shape[1] % 8 == 0
+            and c.shape[-1] % 8 == 0
+            and wx.shape[:2] == (3, 3)
+        )
+    if use:
+        return _step_pallas_padded(xp, hp, c, wx, wh, b)
+    return _step_ref_padded(xp, hp, c, wx, wh, b)
+
+
+def _fwd_padded(xp, hp, c, wx, wh, b, use_pallas):
+    out = fused_convlstm_step_padded(xp, hp, c, wx, wh, b, use_pallas)
+    return out, (xp, hp, c, wx, wh, b)
+
+
+def _gate_bwd_ref_padded(xp, hp, c, wx, wh, b, dh_next_p, dc_next):
+    """XLA reference of the padded backward: all convs run VALID-W on the
+    padded inputs; the halo-column cotangents of dh' are dropped."""
+    f32 = jnp.float32
+    gates = (_conv3x3_padded(xp, wx) + _conv3x3_padded(hp, wh) + b).astype(f32)
+    i, f, o, g = jnp.split(gates, 4, axis=-1)
+    si, sf, so, tg = (
+        jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o), jnp.tanh(g)
+    )
+    c = c.astype(f32)
+    c_next = sf * c + si * tg
+    tc = jnp.tanh(c_next)
+    dh_next = dh_next_p[:, :, 1:-1].astype(f32)
+    dc_next = dc_next.astype(f32)
+    do_pre = dh_next * tc * so * (1.0 - so)
+    dct = dc_next + dh_next * so * (1.0 - tc * tc)
+    di_pre = dct * tg * si * (1.0 - si)
+    df_pre = dct * c * sf * (1.0 - sf)
+    dg_pre = dct * si * (1.0 - tg * tg)
+    dc_prev = dct * sf
+    dgates = jnp.concatenate([di_pre, df_pre, do_pre, dg_pre], axis=-1)
+    return dgates.astype(xp.dtype), dc_prev.astype(xp.dtype)
+
+
+def _bwd_padded(use_pallas, residuals, cotangents):
+    """Padded-native backward: NO slice/re-pad copies per step.
+
+    The dgates kernel consumes the padded x/h (and padded dh') directly; the
+    four linear conv grads use the VALID-W formulation ``_conv3x3_padded`` so
+    their VJPs produce/consume (W+2) arrays matching the scan carries. The
+    halo-column gradients of dxp/dhp are genuine conv-input gradients; the
+    upstream steps drop them (their halo columns are written constants)."""
+    xp, hp, c, wx, wh, b = residuals
+    dh_next_p, dc_next = cotangents
+    use = use_pallas
+    if use is None:
+        use = (
+            pallas_available()
+            and xp.shape[1] % 8 == 0
+            and c.shape[-1] % 8 == 0
+            and wx.shape[:2] == (3, 3)
+        )
+    import os
+
+    if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":
+        use = False
+    if use:
+        dgates, dc_prev = _gate_bwd_pallas(
+            xp, hp, c, wx, wh, b, dh_next_p, dc_next, padded=True
+        )
+    else:
+        dgates, dc_prev = _gate_bwd_ref_padded(
+            xp, hp, c, wx, wh, b, dh_next_p, dc_next
+        )
+    _, vjp_x = jax.vjp(lambda x_: _conv3x3_padded(x_, wx), xp)
+    (dxp,) = vjp_x(dgates)
+    _, vjp_h = jax.vjp(lambda h_: _conv3x3_padded(h_, wh), hp)
+    (dhp,) = vjp_h(dgates)
+    _, vjp_wx = jax.vjp(lambda w_: _conv3x3_padded(xp, w_), wx)
+    (dwx,) = vjp_wx(dgates)
+    _, vjp_wh = jax.vjp(lambda w_: _conv3x3_padded(hp, w_), wh)
+    (dwh,) = vjp_wh(dgates)
+    db = dgates.sum(axis=(0, 1, 2)).astype(b.dtype)
+    return dxp, dhp, dc_prev, dwx, dwh, db
+
+
+fused_convlstm_step_padded.defvjp(_fwd_padded, _bwd_padded)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_convlstm_step(x, h, c, wx, wh, b, use_pallas: Optional[bool] = None):
     """One ConvLSTM step: (x, h, c, Wx(3,3,Cx,4Ch), Wh(3,3,Ch,4Ch), b) → (h', c')."""
@@ -386,7 +571,7 @@ def _fwd(x, h, c, wx, wh, b, use_pallas):
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(block_h: int, width: int):
+def _make_bwd_kernel(block_h: int, width: int, padded: bool = False):
     def kernel(
         x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
         w_ref, b_ref, dh_ref, dc_ref, dgates_ref, dcprev_ref,
@@ -424,7 +609,13 @@ def _make_bwd_kernel(block_h: int, width: int):
         acc += b_ref[0].astype(jnp.float32)
 
         c = c_ref[0].astype(jnp.float32).reshape(rows, ch)
-        dh_next = dh_ref[0].astype(jnp.float32).reshape(rows, ch)
+        if padded:
+            # dh' arrives in the (W+2) padded layout; the halo columns were
+            # written as constants by the forward kernel — drop their
+            # cotangents here (free in VMEM).
+            dh_next = dh_ref[0, :, 1:-1].astype(jnp.float32).reshape(rows, ch)
+        else:
+            dh_next = dh_ref[0].astype(jnp.float32).reshape(rows, ch)
         dc_next = dc_ref[0].astype(jnp.float32).reshape(rows, ch)
 
         si = jax.nn.sigmoid(acc[:, 0 * ch : 1 * ch])
@@ -476,8 +667,19 @@ def _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next):
 
 
 def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
-                     block_h: Optional[int] = None):
-    bsz, height, width, cx = x.shape
+                     block_h: Optional[int] = None, padded: bool = False):
+    """dgates/dc_prev kernel. ``padded``: x/h (and dh_next) arrive in the
+    (W+2) layout from padded-IO scans — no pad/slice copies here."""
+    if padded:
+        bsz, height, wp2, cx = x.shape
+        width = wp2 - 2
+        xp, hp = x, h
+        dh_w = width + 2
+    else:
+        bsz, height, width, cx = x.shape
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        dh_w = width
     ch = c.shape[-1]
     if block_h is None:
         # The backward carries ~4 MB more VMEM than the forward (dh/dc inputs,
@@ -487,8 +689,6 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
         while height % block_h:
             block_h //= 2
         block_h = max(block_h, 1)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
     w3 = jnp.concatenate(
         [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
     )
@@ -508,14 +708,14 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
         ndim = len(shape)
         return pl.BlockSpec(shape, lambda bi, r: (0,) * ndim, memory_space=pltpu.VMEM)
 
-    def out_spec(c_feat):
+    def out_spec(c_feat, w=width):
         return pl.BlockSpec(
-            (1, block_h, width, c_feat), lambda bi, r: (bi, r, 0, 0),
+            (1, block_h, w, c_feat), lambda bi, r: (bi, r, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     dgates, dc_prev = pl.pallas_call(
-        _make_bwd_kernel(block_h, width),
+        _make_bwd_kernel(block_h, width, padded=padded),
         grid=grid,
         in_specs=[
             row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
@@ -523,7 +723,7 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
             out_spec(ch),  # c
             full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
             full_spec((1, 4 * ch)),
-            out_spec(ch),  # dh_next
+            out_spec(ch, dh_w),  # dh_next (padded width in padded mode)
             out_spec(ch),  # dc_next
         ],
         out_specs=(out_spec(4 * ch), out_spec(ch)),

@@ -64,6 +64,44 @@ def test_build_halo_rows(rng):
     np.testing.assert_allclose(np.asarray(halo[:, 1, 0]), np.asarray(xp[:, 7]))
 
 
+def test_interpret_padded_step_matches_reference(rng, monkeypatch):
+    """Padded-IO kernel (h in (W+2) layout across scans) == reference."""
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    x, h, c, wx, wh, bias = _random_inputs(rng, b=2, hgt=16, wdt=16, cx=4, ch=8)
+    xp, hp = F._pad_w(x), F._pad_w(h)
+    h_ref, c_ref = F._step_ref(x, h, c, wx, wh, bias)
+    hp_k, c_k = F.fused_convlstm_step_padded(xp, hp, c, wx, wh, bias,
+                                             use_pallas=True)
+    assert hp_k.shape == (2, 16, 18, 8)
+    np.testing.assert_allclose(np.asarray(hp_k[:, :, 1:-1]), np.asarray(h_ref),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(hp_k[:, :, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(hp_k[:, :, -1]), 0.0)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref), atol=2e-5)
+
+
+def test_padded_step_vjp_matches_autodiff(rng):
+    """Grad through the padded step's custom VJP == autodiff of the plain
+    reference step (halo-column cotangents are constants and drop)."""
+    x, h, c, wx, wh, bias = _random_inputs(rng, b=1, hgt=8, wdt=8, cx=2, ch=8)
+
+    def loss_padded(x, h, c, wx, wh, bias):
+        hp, cn = F.fused_convlstm_step_padded(
+            F._pad_w(x), F._pad_w(h), c, wx, wh, bias, use_pallas=False
+        )
+        return jnp.sum(hp[:, :, 1:-1] ** 2) + jnp.sum(cn * cn)
+
+    def loss_ref(x, h, c, wx, wh, bias):
+        hn, cn = F._step_ref(x, h, c, wx, wh, bias)
+        return jnp.sum(hn * hn) + jnp.sum(cn * cn)
+
+    g1 = jax.grad(loss_padded, argnums=tuple(range(6)))(x, h, c, wx, wh, bias)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(x, h, c, wx, wh, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_fallback_cpu_path(rng):
     args = _random_inputs(rng)
     h1, c1 = F.fused_convlstm_step(*args)  # auto: fallback on CPU
@@ -121,6 +159,46 @@ def test_interpret_bwd_kernel_matches_ref(rng, monkeypatch):
     dg_k, dc_k = F._gate_bwd_pallas(x, h, c, wx, wh, bias, dh_next, dc_next)
     np.testing.assert_allclose(np.asarray(dg_k), np.asarray(dg_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(dc_k), np.asarray(dc_ref), atol=2e-5)
+
+
+def test_interpret_padded_bwd_kernel_matches_ref(rng, monkeypatch):
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    x, h, c, wx, wh, bias = _random_inputs(rng, b=2, hgt=16, wdt=16, cx=4, ch=8)
+    xp, hp = F._pad_w(x), F._pad_w(h)
+    k1, k2 = jax.random.split(rng)
+    dhp = jax.random.normal(k1, hp.shape[:-1] + (8,))
+    dc = jax.random.normal(k2, c.shape)
+    dg_ref, dc_ref = F._gate_bwd_ref_padded(xp, hp, c, wx, wh, bias, dhp, dc)
+    dg_k, dc_k = F._gate_bwd_pallas(xp, hp, c, wx, wh, bias, dhp, dc,
+                                    padded=True)
+    np.testing.assert_allclose(np.asarray(dg_k), np.asarray(dg_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dc_k), np.asarray(dc_ref), atol=2e-5)
+
+
+def test_padded_scan_grad_matches_plain_scan(rng):
+    """Two chained padded steps (scan-style) must produce the same gradients
+    as two chained plain steps — validates the halo-cotangent dropping."""
+    x0, h, c, wx, wh, bias = _random_inputs(rng, b=1, hgt=8, wdt=8, cx=8, ch=8)
+
+    def loss_plain(h, c, wx):
+        h1, c1 = F._step_ref(x0, h, c, wx, wh, bias)
+        h2, c2 = F._step_ref(h1, h1, c1, wx, wh, bias)
+        return jnp.sum(h2 * h2)
+
+    def loss_padded(h, c, wx):
+        hp, cp = F._pad_w(h), c
+        xp = F._pad_w(x0)
+        h1, c1 = F.fused_convlstm_step_padded(xp, hp, cp, wx, wh, bias,
+                                              use_pallas=False)
+        h2, c2 = F.fused_convlstm_step_padded(h1, h1, c1, wx, wh, bias,
+                                              use_pallas=False)
+        return jnp.sum(h2[:, :, 1:-1] ** 2)
+
+    g1 = jax.grad(loss_plain, argnums=(0, 1, 2))(h, c, wx)
+    g2 = jax.grad(loss_padded, argnums=(0, 1, 2))(h, c, wx)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_full_custom_vjp_pallas_interpret(rng, monkeypatch):
