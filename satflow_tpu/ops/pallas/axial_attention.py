@@ -84,12 +84,16 @@ def axial_attention(
     """
     use = use_pallas
     if use is None:
-        # Measured on v5e at MetNet aggregator shapes (N=98k, L=64, d=8):
-        # this kernel 24.6 ms vs XLA einsum 18.5 ms — the per-head dims are
-        # too thin for the per-row matmul loop, and XLA's batched dot wins.
-        # Default to XLA; opt into the kernel explicitly for fat-head shapes
-        # (d ≥ 64) where the fused softmax saves the HBM score round-trip.
-        use = False
+        # Regime sweep on v5e (tools/bench_axial.py, kernel-vs-XLA ms):
+        #   N=98k L=64  d=8   16.1 / 19.9  -> XLA (thin heads: K=d too small)
+        #   N=16k L=64  d=32   3.7 /  4.5  -> XLA
+        #   N=4k  L=64  d=64   2.0 /  1.9  -> wash
+        #   N=2k  L=128 d=64   3.1 /  1.8  -> kernel 1.77x
+        #   N=2k  L=256 d=64   4.2 /  2.7  -> kernel 1.58x
+        #   N=1k  L=64  d=128  1.3 /  1.4  -> XLA
+        # The kernel wins when the (N, L, L) score tensor dominates the HBM
+        # traffic: long axes with MXU-deep heads. Auto-enable there.
+        use = q.shape[-2] >= 128 and q.shape[-1] >= 64
     if use and not (
         pallas_available()
         and q.shape == k.shape == v.shape

@@ -45,3 +45,26 @@ def test_axial_module_still_works(rng):
     variables = block.init(rng, x)
     y = block.apply(variables, x)
     assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_auto_dispatch_regime(rng, monkeypatch):
+    """Auto-dispatch follows the measured v5e regime: kernel only for long
+    axes with MXU-deep heads (L>=128, d>=64); XLA for thin heads."""
+    import satflow_tpu.ops.pallas.axial_attention as A
+
+    calls = []
+    monkeypatch.setattr(A, "_attention_pallas",
+                        lambda q, k, v: calls.append("pallas") or A._attention_ref(q, k, v))
+    monkeypatch.setattr(A, "pallas_available", lambda: True)
+    import jax
+
+    def run(n, L, d):
+        calls.clear()
+        q = jax.random.normal(rng, (n, L, d))
+        A.axial_attention(q, q, q)
+        return bool(calls)
+
+    assert not run(8, 64, 8)     # MetNet thin heads -> XLA
+    assert not run(8, 64, 64)    # short axis -> XLA
+    assert run(8, 128, 64)       # long axis, deep head -> kernel
+    assert run(8, 256, 64)
