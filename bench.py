@@ -28,8 +28,8 @@ SIZE = 256
 CHANNELS = 12
 # v5e optimum, retuned r2: with the fused+padded-IO cell, batch scales past 16
 # (b16: 1016, b24: 1089, b32: 1119, b48: 1131 at u8; u24: b32 1160, b40 1163,
-# b48 1171; b64 OOMs HBM). Padded-IO on top of b48/u24: 1339 f/s.
-BATCH = int(os.environ.get("BENCH_BATCH", "48"))
+# b48 1171; b64 OOMs HBM). Padded-IO on top: b48/u24 1339, b56/u24 1357 f/s.
+BATCH = int(os.environ.get("BENCH_BATCH", "56"))
 UNROLL = int(os.environ.get("BENCH_UNROLL", "24"))
 HIDDEN = 64
 

@@ -136,9 +136,13 @@ def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False,
         h_next = h_next.reshape(block_h, width, ch).astype(hout_ref.dtype)
         if padded_out:
             # h_out keeps the (W+2) padded layout so the NEXT step's conv
-            # consumes it without a jnp.pad HBM round-trip: zero halo columns.
+            # consumes it without a jnp.pad HBM round-trip. Slice-stores, not
+            # a vector concat: Mosaic mis-lowers the W-axis concatenate at
+            # narrow channel counts (observed tpu.concatenate crash at ch=32).
+            hout_ref[0, :, 1 : width + 1, :] = h_next
             zcol = jnp.zeros((block_h, 1, ch), hout_ref.dtype)
-            hout_ref[0] = jnp.concatenate([zcol, h_next, zcol], axis=1)
+            hout_ref[0, :, 0:1, :] = zcol
+            hout_ref[0, :, width + 1 : width + 2, :] = zcol
         else:
             hout_ref[0] = h_next
 
