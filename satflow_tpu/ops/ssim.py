@@ -91,6 +91,7 @@ def ssim(
 ) -> jax.Array:
     """Mean SSIM between NHWC batches (flattens leading dims beyond 4D)."""
     x, y = _flatten_video(x), _flatten_video(y)
+    win_size = _clamp_win(win_size, min(x.shape[1], x.shape[2]))
     window = jnp.asarray(_gaussian_kernel1d(win_size, win_sigma))
     ssim_map, _ = _ssim_components(x, y, window, data_range)
     if nonnegative:
@@ -118,8 +119,9 @@ def ms_ssim(
     (weights renormalized); the reference's 64px patches support 3 levels.
     """
     x, y = _flatten_video(x), _flatten_video(y)
-    window = jnp.asarray(_gaussian_kernel1d(win_size, win_sigma))
     min_dim = min(x.shape[1], x.shape[2])
+    win_size = _clamp_win(win_size, min_dim)
+    window = jnp.asarray(_gaussian_kernel1d(win_size, win_sigma))
     max_levels = max(1, int(np.floor(np.log2(min_dim / win_size))) + 1)
     weights = tuple(weights)[: min(len(weights), max_levels)]
     levels = len(weights)
@@ -140,6 +142,16 @@ def ms_ssim(
     if per_channel:
         return jnp.prod(stack ** w[:, None], axis=0)
     return jnp.prod(stack**w)
+
+
+def _clamp_win(win_size: int, min_dim: int) -> int:
+    """Clamp the Gaussian window to the image (odd, >=1) — an 11-wide VALID
+    blur on a smaller image yields an EMPTY map whose mean is NaN (skimage
+    clamps the same way for tiny images, e.g. MetNet's H/16 output grids)."""
+    w = min(win_size, min_dim)
+    if w % 2 == 0:
+        w -= 1
+    return max(w, 1)
 
 
 def _avg_pool2(x: jax.Array) -> jax.Array:

@@ -449,3 +449,22 @@ def test_grad_accumulation_and_clipping():
     )
     metrics = trainer.fit(model, dm)
     assert np.isfinite(metrics["train/loss"])
+
+
+def test_model_artifact_logger_saves_final_checkpoint(tmp_path):
+    """ModelArtifactLogger (the reference NeptuneModelLogger's role,
+    models/base.py stale-import defect fixed): a loadable final checkpoint
+    lands in dirpath at train end."""
+    from satflow_tpu.train.callbacks import ModelArtifactLogger
+
+    art_dir = str(tmp_path / "artifacts")
+    model = _small_model()
+    trainer = Trainer(max_epochs=1, limit_train_batches=1, limit_val_batches=1,
+                      callbacks=[ModelArtifactLogger(dirpath=art_dir)], seed=0)
+    trainer.fit(model, AdvectionDataModule())
+    final = os.path.join(art_dir, "final")
+    assert os.path.exists(os.path.join(final, "hparams.json"))
+
+    loaded = create_model(f"local:{final}")
+    assert loaded.restored_variables is not None
+    assert loaded.hidden_dim == model.hidden_dim

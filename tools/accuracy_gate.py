@@ -59,40 +59,124 @@ def main():
         "mse_t": np.mean(base["flow_loss"], axis=0).tolist(),
         "mse": float(np.mean(base["flow_loss"])),
     }
-
-    models = {
-        "convlstm": lambda: create_model(
-            "encoderdecoderconvlstm", input_channels=2, out_channels=2,
-            forecast_steps=STEPS, hidden_dim=32, lr=3e-3,
-        ),
-        "metnet": lambda: create_model(
-            "litmetnet", input_channels=2, sat_channels=2, output_channels=2,
-            input_size=32, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
-        ),
+    # Farneback's 15px window degenerates toward zero flow on small decayed
+    # blobs; also report the in-repo Horn-Schunck solve (the stronger flow).
+    base_hs = run_baseline(eval_ds, forecast_steps=STEPS,
+                           flow_method="horn_schunck", max_batches=3)
+    results["optical_flow_hs"] = {
+        "mse_t": np.mean(base_hs["flow_loss"], axis=0).tolist(),
+        "mse": float(np.mean(base_hs["flow_loss"])),
     }
 
-    for name, factory in models.items():
-        model = factory()
-        epochs = 30 if name == "convlstm" else 40
-        trainer = Trainer(max_epochs=epochs, log_every_n_steps=100, seed=0)
-        trainer.fit(model, make_dm())
-        variables = {"params": trainer.state.params, **trainer.state.model_state}
-        curves = evaluate_model(model, variables, eval_ds, max_batches=3,
-                                compute_ms_ssim=True)
-        results[name] = {
-            "mse_t": np.mean(curves["mse"], axis=0).tolist(),
-            "mse": float(np.mean(curves["mse"])),
-            "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
-            "ms_ssim": float(np.mean(curves["ms_ssim"])),
-            "epochs": epochs,
-        }
-        print(name, "mse", results[name]["mse"])
+    # --- ConvLSTM arm: full-resolution, directly against the baselines ------
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=2, out_channels=2,
+        forecast_steps=STEPS, hidden_dim=32, lr=3e-3,
+    )
+    trainer = Trainer(max_epochs=30, log_every_n_steps=100, seed=0)
+    trainer.fit(model, make_dm())
+    variables = {"params": trainer.state.params, **trainer.state.model_state}
+    curves = evaluate_model(model, variables, eval_ds, max_batches=3,
+                            compute_ms_ssim=True)
+    results["convlstm"] = {
+        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+        "mse": float(np.mean(curves["mse"])),
+        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
+        "ms_ssim": float(np.mean(curves["ms_ssim"])),
+        "epochs": 30,
+    }
+    print("convlstm mse", results["convlstm"]["mse"])
+
+    # --- MetNet arm: MetNet predicts the center 1/4 crop at 1/16 resolution
+    # (reference pl_metnet geometry) — apples-to-apples means running the
+    # baselines at that SAME target geometry (64px data -> 4x4 targets, where
+    # pooled motion is sub-pixel but the intensity decay still discriminates).
+    from satflow_tpu.data import consts
+    from satflow_tpu.data.fake import DecayingAdvectionDataset
+    from satflow_tpu.models.metnet import _avg_pool_frames
+    from satflow_tpu.nn.misc import crop_center
+
+    ds64 = dict(DS_KW, width=64, height=64)
+    eval64 = DecayingAdvectionDataset(length=3, seed=300, **ds64)
+
+    def metnet_view(ds):
+        for x, y in ds:
+            out = []
+            for part in (x, y):
+                sat = np.asarray(part[consts.SATELLITE_DATA])
+                sat = np.asarray(
+                    _avg_pool_frames(crop_center(sat, 16, 16), factor=4)
+                )
+                out.append({consts.SATELLITE_DATA: sat})
+            yield tuple(out)
+
+    base_m = run_baseline(metnet_view(eval64), forecast_steps=STEPS,
+                          flow_method="farneback", max_batches=3)
+    results["persistence@metnet_grid"] = {
+        "mse_t": np.mean(base_m["baseline_loss"], axis=0).tolist(),
+        "mse": float(np.mean(base_m["baseline_loss"])),
+    }
+    results["optical_flow@metnet_grid"] = {
+        "mse_t": np.mean(base_m["flow_loss"], axis=0).tolist(),
+        "mse": float(np.mean(base_m["flow_loss"])),
+    }
+
+    dm64 = make_dm()
+    dm64._dataset = lambda split, n: DecayingAdvectionDataset(
+        length=12, seed={"train": 0, "validation": 100, "test": 200}[split],
+        **ds64,
+    )
+    # warmup must fit the short run: the default warmup_steps=1000 would keep
+    # the LR in warmup for the whole study (12 batches/epoch).
+    epochs_m = 150
+    metnet = create_model(
+        "litmetnet", input_channels=2, sat_channels=2, output_channels=2,
+        input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
+        warmup_steps=100, total_steps=epochs_m * 12,
+    )
+    trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
+    trainer.fit(metnet, dm64)
+    variables = {"params": trainer.state.params, **trainer.state.model_state}
+    curves = evaluate_model(metnet, variables, eval64, max_batches=3,
+                            compute_ms_ssim=True)
+    results["metnet"] = {
+        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+        "mse": float(np.mean(curves["mse"])),
+        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
+        "ms_ssim": float(np.mean(curves["ms_ssim"])),
+        "epochs": epochs_m,
+    }
+    print("metnet mse", results["metnet"]["mse"],
+          "vs persistence@grid", results["persistence@metnet_grid"]["mse"])
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/accuracy_results.json", "w") as f:
         json.dump(results, f, indent=2)
     _write_md(results)
     print(json.dumps({k: v.get("mse") for k, v in results.items()}))
+
+
+_FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm")
+_METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
+
+
+def _table(r, names, steps):
+    lines = ["| Method | Mean MSE | Mean MS-SSIM |", "|---|---|---|"]
+    for name in names:
+        if name not in r:
+            continue
+        ms = r[name].get("ms_ssim")
+        lines.append(
+            f"| {name} | {r[name]['mse']:.5f} | "
+            f"{'-' if ms is None else f'{ms:.4f}'} |"
+        )
+    present = [n for n in names if n in r]
+    lines += ["", "| t | " + " | ".join(present) + " |",
+              "|" + "---|" * (1 + len(present))]
+    for t in range(steps):
+        row = [str(t)] + [f"{r[n]['mse_t'][t]:.5f}" for n in present]
+        lines.append("| " + " | ".join(row) + " |")
+    return lines
 
 
 def _write_md(r):
@@ -110,27 +194,21 @@ def _write_md(r):
         "`python tools/accuracy_gate.py`; gate enforced by",
         "`tests/test_accuracy.py`.",
         "",
-        "| Method | Mean MSE (12 lead times) | Mean MS-SSIM |",
-        "|---|---|---|",
+        "## ConvLSTM — full resolution (32px, 12 lead times)",
+        "",
+        *_table(r, _FULL_RES, steps),
+        "",
+        "## MetNet — at its output geometry",
+        "",
+        "MetNet predicts the center 1/4 crop at 1/16 resolution (the",
+        "reference pl_metnet geometry), so its baselines run on the SAME",
+        "pooled target grid (64px data -> 4x4 targets). Pooled motion is",
+        "sub-pixel there, making persistence/flow strong; the intensity",
+        "decay is what a trained model must capture to win.",
+        "",
+        *_table(r, _METNET_GRID, steps),
+        "",
     ]
-    for name in ("persistence", "optical_flow", "convlstm", "metnet"):
-        if name not in r:
-            continue
-        ms = r[name].get("ms_ssim")
-        lines.append(
-            f"| {name} | {r[name]['mse']:.5f} | "
-            f"{'-' if ms is None else f'{ms:.4f}'} |"
-        )
-    lines += ["", "Per-lead-time MSE:", "", "| t | " + " | ".join(
-        n for n in ("persistence", "optical_flow", "convlstm", "metnet") if n in r
-    ) + " |", "|" + "---|" * (1 + sum(1 for n in ("persistence", "optical_flow", "convlstm", "metnet") if n in r))]
-    for t in range(steps):
-        row = [str(t)]
-        for n in ("persistence", "optical_flow", "convlstm", "metnet"):
-            if n in r:
-                row.append(f"{r[n]['mse_t'][t]:.5f}")
-        lines.append("| " + " | ".join(row) + " |")
-    lines.append("")
     with open("docs/ACCURACY.md", "w") as f:
         f.write("\n".join(lines))
 
