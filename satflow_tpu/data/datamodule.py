@@ -114,28 +114,48 @@ class Prefetcher:
                 cv.notify_all()
 
     def _iter_streaming(self) -> Iterator:
-        """Single pump thread draining an iterable dataset into a bounded queue."""
+        """Single pump thread draining an iterable dataset into a bounded queue.
+
+        The pump checks a stop event between bounded put attempts, so a
+        consumer that stops early (fast_dev_run, limit_train_batches) releases
+        the thread and the native loader's ring buffer instead of leaking
+        them blocked on a full queue.
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def pump():
             try:
                 for item in self.dataset:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # noqa: BLE001 - delivered to consumer
-                q.put(_WorkerError(e))
+                put(_WorkerError(e))
                 return
-            q.put(_END)
+            put(_END)
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, _WorkerError):
-                raise item.error
-            yield self._convert(item)
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, _WorkerError):
+                    raise item.error
+                yield self._convert(item)
+        finally:
+            stop.set()
 
     def _convert(self, item):
         if self.device_put is not None:
@@ -226,6 +246,9 @@ class SatFlowDataModule:
         src = self._join(self.data_path, split)
         if self.use_native and self._native_sfb_dir(src):
             from satflow_tpu.data.datasets import NativeStreamingDataset
+            from satflow_tpu.data.remote import split_url
+
+            _, src = split_url(src)  # strip an explicit file:// prefix
 
             from satflow_tpu.data.datasets import config_minutes
 

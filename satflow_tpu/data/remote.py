@@ -170,10 +170,32 @@ class RemoteBatchStore:
         self._remote_len: Optional[int] = None
 
     def _detect_pattern(self) -> str:
+        import re
+
+        if self._fetcher.get("list") is None:
+            # list-less transports (anonymous-HTTPS s3 fallback): probe-fetch
+            # batch_0.<ext> instead of listing the prefix.
+            for ext in ("sfb", "npz", "nc"):
+                probe = os.path.join(self.cache_dir, f"batch_0.{ext}")
+                try:
+                    self._fetcher["fetch"](
+                        _join_url(self.url, f"batch_0.{ext}"), probe
+                    )
+                except Exception:  # noqa: BLE001 - missing/denied: next ext
+                    continue
+                return "batch_{idx}." + ext
+            raise FileNotFoundError(
+                f"could not probe batch_0.(sfb|npz|nc) under {self.url}; the "
+                f"{self._scheme!r} transport cannot list — pass pattern="
+            )
         names = self.list_remote()
         for ext in ("sfb", "npz", "nc"):
-            if any(n.endswith("." + ext) for n in names):
-                self._remote_len = sum(1 for n in names if n.endswith("." + ext))
+            rx = re.compile(r"^batch_\d+\." + ext + "$")
+            n = sum(1 for name in names if rx.match(name))
+            if n:
+                # count only batch_{i}.<ext>: stray files (stats.npz, ...)
+                # must not inflate the readable range
+                self._remote_len = n
                 return "batch_{idx}." + ext
         raise FileNotFoundError(f"no batch files (*.sfb/*.npz/*.nc) under {self.url}")
 
@@ -188,9 +210,12 @@ class RemoteBatchStore:
 
     def __len__(self) -> int:
         if self._remote_len is None:
+            import re
+
             ext = self.pattern.rsplit(".", 1)[-1]
+            rx = re.compile(r"^batch_\d+\." + ext + "$")
             self._remote_len = sum(
-                1 for n in self.list_remote() if n.endswith("." + ext)
+                1 for n in self.list_remote() if rx.match(n)
             )
         return self._remote_len
 

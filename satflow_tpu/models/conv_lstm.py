@@ -364,3 +364,17 @@ class EncoderDecoderConvLSTM(BaseModel):
             forecast_steps=config.get("forecast_steps", 1),
             lr=config.get("lr", 1e-3),
         )
+
+    def adapt_restored_params(self, params):
+        """Relocate the output head between the top level (head_in_scan=False,
+        the r1 layout) and decoder/head (head_in_scan=True) so checkpoints
+        saved under either layout load into either configuration."""
+        params = dict(params)
+        decoder = dict(params.get("decoder", {}))
+        if self.head_in_scan and "head" in params and "head" not in decoder:
+            decoder["head"] = params.pop("head")
+            params["decoder"] = decoder
+        elif not self.head_in_scan and "head" in decoder and "head" not in params:
+            params["head"] = decoder.pop("head")
+            params["decoder"] = decoder
+        return params

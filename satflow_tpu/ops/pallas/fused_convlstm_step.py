@@ -469,24 +469,8 @@ def _fwd_padded(xp, hp, c, wx, wh, b, use_pallas):
 def _gate_bwd_ref_padded(xp, hp, c, wx, wh, b, dh_next_p, dc_next):
     """XLA reference of the padded backward: all convs run VALID-W on the
     padded inputs; the halo-column cotangents of dh' are dropped."""
-    f32 = jnp.float32
-    gates = (_conv3x3_padded(xp, wx) + _conv3x3_padded(hp, wh) + b).astype(f32)
-    i, f, o, g = jnp.split(gates, 4, axis=-1)
-    si, sf, so, tg = (
-        jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o), jnp.tanh(g)
-    )
-    c = c.astype(f32)
-    c_next = sf * c + si * tg
-    tc = jnp.tanh(c_next)
-    dh_next = dh_next_p[:, :, 1:-1].astype(f32)
-    dc_next = dc_next.astype(f32)
-    do_pre = dh_next * tc * so * (1.0 - so)
-    dct = dc_next + dh_next * so * (1.0 - tc * tc)
-    di_pre = dct * tg * si * (1.0 - si)
-    df_pre = dct * c * sf * (1.0 - sf)
-    dg_pre = dct * si * (1.0 - tg * tg)
-    dc_prev = dct * sf
-    dgates = jnp.concatenate([di_pre, df_pre, do_pre, dg_pre], axis=-1)
+    gates = _conv3x3_padded(xp, wx) + _conv3x3_padded(hp, wh) + b
+    dgates, dc_prev = _gate_bwd_math(gates, c, dh_next_p[:, :, 1:-1], dc_next)
     return dgates.astype(xp.dtype), dc_prev.astype(xp.dtype)
 
 
@@ -647,10 +631,13 @@ def _make_bwd_kernel(block_h: int, width: int, padded: bool = False):
     return kernel
 
 
-def _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next):
-    """XLA reference of the fused backward kernel: (dgates, dc_prev)."""
+def _gate_bwd_math(gates, c, dh_next, dc_next):
+    """Hand-derived gate-chain backward (f32): (dgates, dc_prev).
+
+    Shared by the XLA reference paths (plain and padded) — the Pallas kernel
+    reimplements the same chain on its in-VMEM accumulator."""
     f32 = jnp.float32
-    gates = (_conv3x3(x, wx) + _conv3x3(h, wh) + b).astype(f32)
+    gates = gates.astype(f32)
     i, f, o, g = jnp.split(gates, 4, axis=-1)
     si, sf, so, tg = (
         jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o), jnp.tanh(g)
@@ -667,6 +654,13 @@ def _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next):
     dg_pre = dct * si * (1.0 - tg * tg)
     dc_prev = dct * sf
     dgates = jnp.concatenate([di_pre, df_pre, do_pre, dg_pre], axis=-1)
+    return dgates, dc_prev
+
+
+def _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next):
+    """XLA reference of the fused backward kernel: (dgates, dc_prev)."""
+    gates = _conv3x3(x, wx) + _conv3x3(h, wh) + b
+    dgates, dc_prev = _gate_bwd_math(gates, c, dh_next, dc_next)
     return dgates.astype(x.dtype), dc_prev.astype(x.dtype)
 
 

@@ -74,9 +74,10 @@ def restore_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Di
     return payload
 
 
-def resume_state(state, path: str):
+def resume_state(state, path: str, model=None):
     """Load a checkpoint into an already-built train state (params, model_state,
-    opt_state, step) — the engine's resume_from_checkpoint path."""
+    opt_state, step) — the engine's resume_from_checkpoint path. ``model``
+    enables layout adaptation of old checkpoints (see _adapt_params)."""
     template = {
         "params": _params_of(state),
         "model_state": getattr(state, "model_state", {}) or {},
@@ -85,12 +86,22 @@ def resume_state(state, path: str):
     }
     try:
         payload = restore_checkpoint(path, target=template)
-    except BaseException:  # noqa: BLE001 - pre-r2 checkpoints lack opt_state
+    except Exception as e:  # pre-r2 checkpoints lack opt_state, or the
+        # optimizer structure changed (different wrapper/accumulation config)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "resume: structured restore failed (%s: %s); falling back to "
+            "params/model_state only — optimizer moments and schedule "
+            "position will RESET", type(e).__name__, e,
+        )
         payload = restore_checkpoint(path)
         payload["opt_state"] = None  # raw-dict opt_state is structurally unusable
     import jax.numpy as jnp
 
     step = jnp.asarray(payload.get("step", 0), jnp.int32)
+    if model is not None and hasattr(state, "opt_state"):
+        payload["params"] = _adapt_params(model, payload["params"])
     if hasattr(state, "opt_state"):
         state = state.replace(
             params=payload["params"], model_state=payload["model_state"], step=step
@@ -127,13 +138,22 @@ def load_model_from_checkpoint(path: str):
     cls_name = hparams.pop("class")
     model = create_model(cls_name.lower(), **_ctor_kwargs(cls_name, hparams))
     payload = restore_checkpoint(path)
-    model.restored_variables = {"params": payload["params"], **payload["model_state"]}
+    params = _adapt_params(model, payload["params"])
+    model.restored_variables = {"params": params, **payload["model_state"]}
     return model
+
+
+def _adapt_params(model, params):
+    """Model hook for restoring params saved under an older layout (e.g. the
+    ConvLSTM head's relocation when head_in_scan changed the param tree)."""
+    hook = getattr(model, "adapt_restored_params", None)
+    return hook(params) if hook is not None else params
 
 
 def restore_params_into(model, path: str):
     payload = restore_checkpoint(_abs(path))
-    model.restored_variables = {"params": payload["params"], **payload["model_state"]}
+    params = _adapt_params(model, payload["params"])
+    model.restored_variables = {"params": params, **payload["model_state"]}
     return model
 
 

@@ -157,6 +157,7 @@ class Trainer:
                 t_epoch = time.time()
                 t_last = t_epoch
                 steps_since_log = 0
+                pending_finite = None  # (global_step, on-device flag)
                 for i, batch in enumerate(train_loader):
                     if i >= n_train or self.should_stop:
                         break
@@ -166,15 +167,20 @@ class Trainer:
                     self.global_step += 1
                     steps_since_log += 1
                     if self.terminate_on_nan and "finite" in metrics:
-                        # The flag is computed inside the jitted step (free on
-                        # device); fetching it each step is the sync the user
-                        # opted into — no poisoned updates slip through.
-                        if not bool(jax.device_get(metrics["finite"])):
+                        # Check the PREVIOUS step's on-device flag: by the time
+                        # step t is dispatched, t-1 has usually completed, so
+                        # the device_get doesn't stall the pipeline (a same-step
+                        # fetch would force a host sync every step). Detection
+                        # lag: one step.
+                        if pending_finite is not None and not bool(
+                            jax.device_get(pending_finite[1])
+                        ):
                             log.error(
                                 "non-finite loss/grads at step %d; terminating fit",
-                                self.global_step,
+                                pending_finite[0],
                             )
                             self.should_stop = True
+                        pending_finite = (self.global_step, metrics["finite"])
                     if self.global_step % self.log_every_n_steps == 0 or i == n_train - 1:
                         now = time.time()
                         flat = expand_frame_metrics(metrics, "train")
@@ -194,6 +200,16 @@ class Trainer:
                         cb.on_train_batch_end(self, metrics, self.global_step)
                     if self.max_steps and self.global_step >= self.max_steps:
                         self.should_stop = True
+                if (
+                    self.terminate_on_nan
+                    and pending_finite is not None
+                    and not bool(jax.device_get(pending_finite[1]))
+                ):
+                    log.error(
+                        "non-finite loss/grads at step %d; terminating fit",
+                        pending_finite[0],
+                    )
+                    self.should_stop = True
                 log.info(
                     "epoch %d done in %.1fs (%d steps)",
                     epoch, time.time() - t_epoch, self.global_step,
@@ -253,20 +269,26 @@ class Trainer:
             return
         old_scale = self._plateau.scale
         self._plateau.update(float(metric))
-        if self._plateau.scale == old_scale:
+        scale = self._plateau.scale
+        if scale == old_scale:
             return
         from satflow_tpu.train.schedules import rewrite_learning_rate
 
-        new_lr = self._plateau.lr
-        log.info("plateau: reducing lr to %.3e", new_lr)
         if hasattr(self.state, "opt_state"):
+            new_lr = self.model.lr * scale
+            log.info("plateau: reducing lr to %.3e", new_lr)
             self.state = self.state.replace(
                 opt_state=rewrite_learning_rate(self.state.opt_state, new_lr)
             )
         else:
+            # per-optimizer base LRs: scale each, don't clobber disc_lr with
+            # the generator's decayed value
+            g_lr = getattr(self.model, "gen_lr", self.model.lr) * scale
+            d_lr = getattr(self.model, "disc_lr", self.model.lr) * scale
+            log.info("plateau: reducing lrs to g=%.3e d=%.3e", g_lr, d_lr)
             self.state = self.state.replace(
-                g_opt_state=rewrite_learning_rate(self.state.g_opt_state, new_lr),
-                d_opt_state=rewrite_learning_rate(self.state.d_opt_state, new_lr),
+                g_opt_state=rewrite_learning_rate(self.state.g_opt_state, g_lr),
+                d_opt_state=rewrite_learning_rate(self.state.d_opt_state, d_lr),
             )
 
     def _build_state(self, model, rng: jax.Array, loader: Iterable) -> None:
@@ -316,7 +338,9 @@ class Trainer:
 
             # Restores params, model_state, opt_state (Adam moments, schedule
             # position) and the step counter — Lightning resume semantics.
-            self.state, step = resume_state(self.state, self.resume_from_checkpoint)
+            self.state, step = resume_state(
+                self.state, self.resume_from_checkpoint, model=model
+            )
             self.global_step = step
 
     def _wrap_tx(self, tx: optax.GradientTransformation) -> optax.GradientTransformation:
@@ -368,10 +392,8 @@ class Trainer:
         good size. Sets ``datamodule.batch_size`` when the attribute exists."""
         import numpy as _np
 
-        import optax
-
-        from satflow_tpu.train.state import TrainState
-        from satflow_tpu.train.steps import make_train_step
+        from satflow_tpu.train.state import GANTrainState, TrainState
+        from satflow_tpu.train.steps import make_gan_train_step, make_train_step
 
         rng = jax.random.PRNGKey(self.seed)
         first = next(iter(datamodule.train_dataloader()))
@@ -384,26 +406,49 @@ class Trainer:
 
             return jax.tree_util.tree_map(grow, batch)
 
+        def probe(size):
+            # Probe with the REAL step + optimizer(s): a cheap SGD/plain-loss
+            # probe underestimates memory (Adam moments, discriminator
+            # params/activations) and picks a size that OOMs in fit.
+            batch = resize(first, size)
+            if model.is_gan:
+                g_vars, d_vars = model.init_gan_variables(rng, batch)
+                g_params, g_state = model.split_variables(g_vars)
+                d_params, d_state = model.split_variables(d_vars)
+                g_tx, d_tx = model.make_optimizers()
+                state = GANTrainState.create(
+                    g_params, d_params, {"g": g_state, "d": d_state},
+                    self._wrap_tx(g_tx), self._wrap_tx(d_tx),
+                )
+                state, metrics = make_gan_train_step(model)(state, batch, rng)
+                jax.block_until_ready(metrics["g_loss"])
+            else:
+                variables = model.init_variables(rng, batch)
+                params, model_state = model.split_variables(variables)
+                state = TrainState.create(
+                    params, model_state, self._wrap_tx(model.make_optimizer())
+                )
+                state, metrics = make_train_step(model)(state, batch, rng)
+                jax.block_until_ready(metrics["loss"])
+
         good = 0
         size = max(1, init_val)
-        step = make_train_step(model)
         for _ in range(max_trials):
             if max_batch_size and size > max_batch_size:
                 break
             try:
-                batch = resize(first, size)
-                variables = model.init_variables(rng, batch)
-                params, model_state = model.split_variables(variables)
-                state = TrainState.create(params, model_state, optax.sgd(1e-4))
-                state, metrics = step(state, batch, rng)
-                jax.block_until_ready(metrics["loss"])
+                probe(size)
                 good = size
                 size *= 2
             except Exception as e:  # noqa: BLE001 - OOM/compile failure: back off
                 log.info("scale_batch_size: %d failed (%s); keeping %d",
                          size, type(e).__name__, good)
                 break
-        good = good or init_val
+        if good == 0:
+            raise RuntimeError(
+                f"scale_batch_size: even batch {init_val} failed to run; "
+                f"not overriding the configured batch size"
+            )
         if hasattr(datamodule, "batch_size"):
             datamodule.batch_size = good
         log.info("scale_batch_size: selected %d", good)

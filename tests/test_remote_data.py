@@ -141,6 +141,59 @@ def test_s3_http_fallback_url():
     )
 
 
+def test_remote_store_ignores_stray_files(tmp_path, local_store, mock_s3):
+    """stats.npz next to the batches must not inflate len(store)."""
+    np.savez(os.path.join(local_store, "stats.npz"), mean=np.zeros(2))
+    store = RemoteBatchStore("s3://bucket/train", str(tmp_path / "c"), cache_size=3)
+    assert len(store) == 6  # batch_0..batch_5 only
+
+
+def test_remote_store_listless_probe(tmp_path, local_store):
+    """Transports without a lister (the anonymous-HTTPS s3 fallback) detect
+    the pattern by probe-fetching batch_0.<ext>."""
+    def fetch(url, local_path):
+        name = url.rsplit("/", 1)[-1]
+        src = os.path.join(local_store, name)
+        if not os.path.exists(src):
+            raise FileNotFoundError(name)
+        shutil.copyfile(src, local_path)
+
+    register_fetcher("mockhttp", fetch, list_files=None)
+    try:
+        store = RemoteBatchStore("mockhttp://bucket/train", str(tmp_path / "c"),
+                                 cache_size=2)
+        assert store.pattern == "batch_{idx}.npz"
+        batch = store.read(1)
+        assert batch[consts.SATELLITE_DATA].shape[0] == 2
+    finally:
+        unregister_fetcher("mockhttp")
+
+
+def test_prefetcher_streaming_early_stop_releases_pump():
+    """Breaking out of a streaming iteration must unblock the pump thread
+    (it was leaking blocked on q.put with the native loader's ring alive)."""
+    from satflow_tpu.data.datamodule import Prefetcher
+
+    started = threading.Event()
+    finished = threading.Event()
+
+    class Stream:
+        def __iter__(self):
+            started.set()
+            try:
+                for i in range(10_000):
+                    yield i
+            finally:
+                finished.set()
+
+    pf = Prefetcher(Stream(), num_workers=1, prefetch=2)
+    it = iter(pf)
+    assert next(it) == 0
+    it.close()  # consumer stops early
+    assert started.is_set()
+    assert finished.wait(timeout=5.0), "pump thread did not release"
+
+
 def test_prefetcher_bounded_readahead():
     """prefetch_factor actually bounds outstanding batches (ADVICE r1 high)."""
     from satflow_tpu.data.datamodule import Prefetcher

@@ -451,6 +451,82 @@ def test_grad_accumulation_and_clipping():
     assert np.isfinite(metrics["train/loss"])
 
 
+def test_checkpoint_head_layout_adaptation(tmp_path):
+    """A checkpoint saved with head_in_scan=False (the r1 top-level 'head'
+    layout) must load into the head_in_scan=True default, and vice versa."""
+    from satflow_tpu.train.checkpoint import save_checkpoint
+
+    dm = AdvectionDataModule()
+    old = create_model(
+        "encoderdecoderconvlstm", input_channels=2, out_channels=2,
+        forecast_steps=2, hidden_dim=8, head_in_scan=False,
+    )
+    trainer = Trainer(max_epochs=1, limit_train_batches=1, limit_val_batches=1, seed=0)
+    trainer.fit(old, dm)
+    ckpt = str(tmp_path / "old_layout")
+    save_checkpoint(ckpt, trainer.state, old)
+
+    # the saved hparams embed head_in_scan=False -> rebuild matches exactly;
+    # force the cross-layout path by loading into a head_in_scan=True model.
+    from satflow_tpu.train.checkpoint import restore_params_into
+
+    new = create_model(
+        "encoderdecoderconvlstm", input_channels=2, out_channels=2,
+        forecast_steps=2, hidden_dim=8, head_in_scan=True,
+    )
+    restore_params_into(new, ckpt)
+    assert "head" in new.restored_variables["params"]["decoder"]
+    x, _ = new.prepare_batch(dm.train_dataloader().dataset[0])
+    y_hat = new.forward(new.restored_variables, jax.numpy.asarray(x))
+    # identical math across layouts: compare against the source model
+    y_old = old.forward(
+        {"params": trainer.state.params, **trainer.state.model_state},
+        jax.numpy.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(y_hat), np.asarray(y_old), atol=2e-5)
+
+
+def test_gan_plateau_scales_each_optimizer_lr():
+    """Plateau decay scales gen_lr and disc_lr separately (review finding:
+    the generator's decayed LR was clobbering the discriminator's)."""
+    from satflow_tpu.train.schedules import PlateauScheduler
+
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2, channels_per_timestep=2,
+        num_filters=4, features_start=4, unet_depth=2, scheduler="plateau",
+        lr=1e-3,
+    )
+    model.disc_lr = 4e-3  # distinct base LRs
+    dm = AdvectionDataModule()
+    trainer = Trainer(max_epochs=1, limit_train_batches=1, limit_val_batches=1, seed=0)
+    trainer.fit(model, dm)
+    trainer._plateau = PlateauScheduler(base_lr=1e-3, factor=0.5, patience=0)
+    trainer._plateau_step({"val/g_loss": 1.0})
+    trainer._plateau_step({"val/g_loss": 2.0})
+    trainer._plateau_step({"val/g_loss": 2.0})
+
+    def find_lr(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+        if isinstance(node, tuple):
+            for c in node:
+                got = find_lr(c)
+                if got is not None:
+                    return got
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                got = find_lr(getattr(node, f))
+                if got is not None:
+                    return got
+        return None
+
+    scale = trainer._plateau.scale
+    assert scale < 1.0
+    assert find_lr(trainer.state.g_opt_state) == pytest.approx(1e-3 * scale)
+    assert find_lr(trainer.state.d_opt_state) == pytest.approx(4e-3 * scale)
+
+
 def test_model_artifact_logger_saves_final_checkpoint(tmp_path):
     """ModelArtifactLogger (the reference NeptuneModelLogger's role,
     models/base.py stale-import defect fixed): a loadable final checkpoint
