@@ -26,3 +26,34 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
     assert result is not None and np.isfinite(result)  # optimized_metric val/loss
     assert os.path.exists("checkpoints/best")
     assert os.path.exists("artifacts/final")
+
+
+def test_sweep_driver_tpe_end_to_end(tmp_path, monkeypatch):
+    """--multirun path: hparams_search composes, TPE sweeps trials through
+    train(), results.json records the best params/value."""
+    import json
+
+    from satflow_tpu.experiments.sweep import sweep
+
+    monkeypatch.chdir(tmp_path)
+    cfg = compose(
+        default_config_dir(),
+        overrides=[
+            "model.hidden_dim=4", "model.forecast_steps=2",
+            "model.out_channels=12", "model.input_channels=12",
+            "datamodule.history_minutes=15", "datamodule.forecast_minutes=10",
+            "trainer=debug", "trainer.max_epochs=1", "~logger",
+            "+hparams_search=convlstm_optuna",
+            "hparams_search.n_trials=2",
+            "hparams_search.n_startup_trials=1",
+        ],
+    )
+    cfg = extras(cfg)
+    # shrink the categorical space so both trials share the tiny model size
+    cfg["hparams_search"]["search_space"]["model.hidden_dim"]["choices"] = [4]
+    best = sweep(cfg)
+    assert np.isfinite(best)
+    with open("logs/sweeps/results.json") as f:
+        results = json.load(f)
+    assert len(results["trials"]) == 2
+    assert "model.lr" in results["best_params"]
