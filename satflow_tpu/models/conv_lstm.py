@@ -142,6 +142,71 @@ class _DecoderStep(nn.Module):
         return (s3, s4, h4), out
 
 
+class _EncoderScan(nn.Module):
+    """The full encoder scan as one module, so it can be nn.remat-wrapped.
+
+    With per-step remat the scan still saves every step's carry for the
+    backward (~270 MB × history steps at 256px b8) and those residuals stay
+    alive through the entire DECODER backward. Rematerializing the whole
+    encoder saves only its inputs/outputs; the per-step carries exist only
+    transiently during the encoder's own backward — after the decoder's
+    transients are freed.
+    """
+
+    step_cls: type
+    step_args: Tuple
+    unroll: int
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        scan = nn.scan(
+            self.step_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+            unroll=self.unroll,
+        )(*self.step_args, name="steps")
+        return scan(carry, xs)
+
+
+class _DecoderChunk(nn.Module):
+    """``chunk`` decoder steps fused into ONE outer-scan step (sqrt remat).
+
+    Per-step remat still saves every step's scan carry — at 256px training
+    shapes that is ~338 MB × forecast_steps (the ~8 GB that kept batch 8 from
+    fitting in 15.75 GB HBM). Wrapping this module in ``nn.remat`` inside an
+    outer scan saves only per-CHUNK carries (chunk× fewer) and recomputes each
+    chunk's forward once during the backward — the classic sqrt-remat
+    memory/recompute trade (SURVEY §5.7), applied to the rollout dimension.
+    """
+
+    step_cls: type
+    step_args: Tuple
+    chunk: int
+    unroll: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        scan = nn.scan(
+            self.step_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+            length=self.chunk,
+            unroll=min(self.unroll, self.chunk),
+        )(*self.step_args, name="steps")
+        return scan(carry, None)
+
+
+def _largest_divisor_at_most(n: int, k: int) -> int:
+    k = max(1, min(k, n))
+    while n % k:
+        k -= 1
+    return k
+
+
 def _maybe_head(h4: jax.Array, head_channels: int, dtype,
                 padded_w: bool = False) -> jax.Array:
     """Apply the (1,3,3)-Conv3d-equivalent output head inside the scan step.
@@ -185,6 +250,12 @@ class ConvLSTMCore(nn.Module):
     # needed vs 15.75 GB on v5e at B=8); remat trades recompute for memory
     # (SURVEY §5.7 scan-over-layers remat).
     remat: bool = False
+    # >1: sqrt-remat the DECODER rollout — group remat_chunk steps into one
+    # rematerialized outer-scan step, so only per-chunk carries are saved
+    # (remat_chunk× less carry memory, one extra chunk-forward recompute in
+    # the backward). Enables 256px b8 training on one 16 GB chip (per-step
+    # remat saves ~8 GB of decoder carries alone). Only active with remat.
+    remat_chunk: int = 0
     # apply the output head inside the decoder scan: stacks (B,T,H,W,out)
     # frames instead of (B,T,H,W,hidden) states — 5.3x less stacked
     # activation+gradient memory at the production sizes (see _maybe_head).
@@ -218,6 +289,12 @@ class ConvLSTMCore(nn.Module):
 
         def step_cls(cls):
             return nn.remat(cls, prevent_cse=False) if self.remat else cls
+
+        chunk = (
+            _largest_divisor_at_most(steps, self.remat_chunk)
+            if (self.remat and self.remat_chunk > 1)
+            else 1
+        )
         init = (
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
             ConvLSTMCell.init_carry(b, h, w, self.hidden_dim, cdtype),
@@ -226,43 +303,65 @@ class ConvLSTMCore(nn.Module):
             # padded-IO flow: pad the input sequence's W ONCE; h states stay
             # (W+2)-padded across both scans (no per-step pad round-trips).
             xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-            init_p = (
+            enc_init = (
                 FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
                 FusedConvLSTMCell.init_carry_padded(b, h, w, self.hidden_dim, cdtype),
             )
-            encoder = nn.scan(step_cls(_EncoderStepFused), **scan_kwargs)(
-                self.hidden_dim, self.dtype, name="encoder"
+            enc_cls, enc_args, enc_xs = (
+                _EncoderStepFused, (self.hidden_dim, self.dtype), xpad
             )
-            (s1, s2), _ = encoder(init_p, xpad)
         elif split_enc:
             # all encoder input-side gate convs in ONE folded batch conv
             xg = InputGateConv(self.hidden_dim, dtype=self.dtype,
                                name="encoder_input_gates")(x)
-            encoder = nn.scan(step_cls(_EncoderStepSplit), **scan_kwargs)(
-                self.hidden_dim, self.dtype, name="encoder"
+            enc_init = init
+            enc_cls, enc_args, enc_xs = (
+                _EncoderStepSplit, (self.hidden_dim, self.dtype), xg
             )
-            (s1, s2), _ = encoder(init, xg)
         else:
-            encoder = nn.scan(step_cls(_EncoderStep), **scan_kwargs)(
-                self.hidden_dim, self.conv_type, self.dtype, name="encoder"
+            enc_init = init
+            enc_cls, enc_args, enc_xs = (
+                _EncoderStep, (self.hidden_dim, self.conv_type, self.dtype), x
             )
-            (s1, s2), _ = encoder(init, x)
+        if chunk > 1:
+            # whole-encoder remat (see _EncoderScan): its per-step carries
+            # must not stay resident through the decoder backward.
+            encoder = nn.remat(_EncoderScan, prevent_cse=False)(
+                enc_cls, enc_args, self.unroll, name="encoder"
+            )
+            (s1, s2), _ = encoder(enc_init, enc_xs)
+        else:
+            encoder = nn.scan(step_cls(enc_cls), **scan_kwargs)(
+                *enc_args, name="encoder"
+            )
+            (s1, s2), _ = encoder(enc_init, enc_xs)
         encoder_vector = s2[0]  # final hidden state of layer 2 (conv_lstm.py:184-186)
 
-        dec_scan_kwargs = dict(scan_kwargs, length=steps)
         head_ch = self.out_channels if self.head_in_scan else 0
         if fused:
-            decoder = nn.scan(step_cls(_DecoderStepFused), **dec_scan_kwargs)(
-                self.hidden_dim, self.dtype, head_ch, name="decoder"
-            )
+            dec_cls, dec_args = _DecoderStepFused, (self.hidden_dim, self.dtype,
+                                                    head_ch)
         elif split_dec:
-            decoder = nn.scan(step_cls(_DecoderStepSplit), **dec_scan_kwargs)(
-                self.hidden_dim, self.dtype, head_ch, name="decoder"
-            )
+            dec_cls, dec_args = _DecoderStepSplit, (self.hidden_dim, self.dtype,
+                                                    head_ch)
         else:
-            decoder = nn.scan(step_cls(_DecoderStep), **dec_scan_kwargs)(
-                self.hidden_dim, self.conv_type, self.dtype, head_ch,
-                name="decoder"
+            dec_cls, dec_args = _DecoderStep, (self.hidden_dim, self.conv_type,
+                                               self.dtype, head_ch)
+        if chunk > 1:
+            # sqrt remat: outer scan of rematerialized chunk modules; only the
+            # per-chunk carries are saved for the backward (see _DecoderChunk).
+            decoder = nn.scan(
+                nn.remat(_DecoderChunk, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+                length=steps // chunk,
+            )(dec_cls, dec_args, chunk, self.unroll, name="decoder")
+        else:
+            dec_scan_kwargs = dict(scan_kwargs, length=steps)
+            decoder = nn.scan(step_cls(dec_cls), **dec_scan_kwargs)(
+                *dec_args, name="decoder"
             )
         if fused:
             dec_init = (
@@ -279,6 +378,9 @@ class ConvLSTMCore(nn.Module):
         # (1,3,3) Conv3d head == per-frame 3x3 conv (conv_lstm.py:163-169,
         # 198-202) — applied per scan step (head_in_scan) or folded over B·T.
         _, out_seq = decoder(dec_init, None)
+        if chunk > 1:
+            # (B, n_chunks, chunk, H, W, C) -> (B, steps, H, W, C)
+            out_seq = out_seq.reshape(b, steps, *out_seq.shape[3:])
         if self.head_in_scan:
             out = out_seq  # (B, steps, H, W, out) — head applied in-scan
         else:
@@ -310,6 +412,7 @@ class EncoderDecoderConvLSTM(BaseModel):
         cell_impl: str = "fused",
         unroll: int = 1,
         remat: bool = True,
+        remat_chunk: int = 0,
         head_in_scan: bool = True,
         dtype: Any = None,
     ):
@@ -318,6 +421,7 @@ class EncoderDecoderConvLSTM(BaseModel):
         self.cell_impl = cell_impl
         self.unroll = unroll
         self.remat = remat
+        self.remat_chunk = remat_chunk
         self.head_in_scan = head_in_scan
         self.dtype = dtype
         super().__init__(
@@ -339,6 +443,7 @@ class EncoderDecoderConvLSTM(BaseModel):
             cell_impl=self.cell_impl,
             unroll=self.unroll,
             remat=self.remat,
+            remat_chunk=self.remat_chunk,
             head_in_scan=self.head_in_scan,
             dtype=self.dtype,
         )
@@ -366,15 +471,34 @@ class EncoderDecoderConvLSTM(BaseModel):
         )
 
     def adapt_restored_params(self, params):
-        """Relocate the output head between the top level (head_in_scan=False,
-        the r1 layout) and decoder/head (head_in_scan=True) so checkpoints
-        saved under either layout load into either configuration."""
+        """Relocate params between checkpoint layouts:
+
+        - the output head moves between the top level (head_in_scan=False, the
+          r1 layout) and decoder[...]/head (head_in_scan=True);
+        - the chunked decoder (remat_chunk>1) nests the step params one level
+          deeper (decoder/steps/...) than the per-step layouts — params are
+          broadcast over both scan levels, so relocation is pure dict movement.
+        """
         params = dict(params)
         decoder = dict(params.get("decoder", {}))
+        encoder = dict(params.get("encoder", {}))
+        chunked = (
+            self.remat
+            and self.remat_chunk > 1
+            and _largest_divisor_at_most(self.forecast_steps, self.remat_chunk) > 1
+        )
+        # normalize the scan-step params to the flat (unchunked) layout
+        if "steps" in decoder:
+            decoder = dict(decoder.pop("steps"))
+        if "steps" in encoder:
+            encoder = dict(encoder.pop("steps"))
         if self.head_in_scan and "head" in params and "head" not in decoder:
             decoder["head"] = params.pop("head")
-            params["decoder"] = decoder
         elif not self.head_in_scan and "head" in decoder and "head" not in params:
             params["head"] = decoder.pop("head")
-            params["decoder"] = decoder
+        if chunked:
+            decoder = {"steps": decoder}
+            encoder = {"steps": encoder}
+        params["decoder"] = decoder
+        params["encoder"] = encoder
         return params

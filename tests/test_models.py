@@ -312,3 +312,54 @@ def test_hparams_roundtrip():
     model = create_model("encoderdecoderconvlstm", forecast_steps=7)
     hp = model.hparams()
     assert hp["forecast_steps"] == 7 and hp["class"] == "EncoderDecoderConvLSTM"
+
+
+def test_chunked_remat_matches_per_step(rng):
+    """sqrt-remat (remat_chunk>1) must be numerically identical to the
+    per-step-remat rollout, and params must relocate between the flat and
+    chunked checkpoint layouts in both directions (adapt_restored_params)."""
+    import jax.tree_util as jtu
+
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore, EncoderDecoderConvLSTM
+
+    x = jax.random.uniform(rng, (2, 3, 16, 16, 4))
+    base = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=6,
+                        cell_impl="fused", remat=True, remat_chunk=0)
+    chunked = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=6,
+                           cell_impl="fused", remat=True, remat_chunk=3)
+    v0 = base.init(rng, x)
+    v1 = chunked.init(rng, x)
+    assert "steps" in v1["params"]["decoder"]  # chunked layout nests one level
+    assert "steps" in v1["params"]["encoder"]
+
+    m_chunk = EncoderDecoderConvLSTM(hidden_dim=8, input_channels=4,
+                                     out_channels=4, forecast_steps=6,
+                                     remat=True, remat_chunk=3)
+    m_flat = EncoderDecoderConvLSTM(hidden_dim=8, input_channels=4,
+                                    out_channels=4, forecast_steps=6,
+                                    remat=True, remat_chunk=0)
+    p_reloc = m_chunk.adapt_restored_params(v0["params"])
+    np.testing.assert_allclose(
+        np.asarray(base.apply(v0, x)),
+        np.asarray(chunked.apply({"params": p_reloc}, x)), atol=1e-6)
+
+    g0 = jax.grad(lambda p: jnp.sum(base.apply({"params": p}, x) ** 2))(
+        v0["params"])
+    g1 = jax.grad(lambda p: jnp.sum(chunked.apply({"params": p}, x) ** 2))(
+        p_reloc)
+    g1_flat = m_flat.adapt_restored_params(g1)
+    err = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, dict(g1_flat))))
+    assert err < 1e-3, f"chunked-remat grads diverge: {err}"
+
+    # chunked-layout checkpoint loads into the flat config
+    p_back = m_flat.adapt_restored_params(v1["params"])
+    np.testing.assert_allclose(
+        np.asarray(base.apply({"params": p_back}, x)),
+        np.asarray(chunked.apply(v1, x)), atol=1e-6)
+
+    # prime step counts fall back to the unchunked layout
+    prime = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=5,
+                         cell_impl="fused", remat=True, remat_chunk=4)
+    vp = prime.init(rng, x)
+    assert "steps" not in vp["params"]["decoder"]

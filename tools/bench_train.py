@@ -27,6 +27,7 @@ def main():
     p.add_argument("--history", type=int, default=7)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--remat-chunk", type=int, default=0)
     p.add_argument("--cell", default="fused")
     args = p.parse_args()
 
@@ -49,6 +50,7 @@ def main():
         hidden_dim=args.hidden,
         cell_impl=args.cell,
         remat=args.remat,
+        remat_chunk=args.remat_chunk,
         unroll=1,
         dtype=jnp.bfloat16,
         lr=1e-3,
@@ -96,7 +98,8 @@ def main():
     fps = args.batch * args.steps / dt
     print(json.dumps({
         "metric": f"train frames/s/chip {args.size}px b{args.batch} "
-                  f"F{args.steps} {args.cell} remat={args.remat}",
+                  f"F{args.steps} {args.cell} remat={args.remat}"
+                  + (f" chunk={args.remat_chunk}" if args.remat_chunk else ""),
         "value": round(fps, 2),
         "unit": "frames/s",
         "step_ms": round(dt * 1000, 2),
