@@ -305,3 +305,80 @@ def test_fused_kv_split():
     out = _split_fused_kv(sd)
     np.testing.assert_array_equal(out["decoder_cross_attn.fn.to_k.weight"], w[:3])
     np.testing.assert_array_equal(out["decoder_cross_attn.fn.to_v.weight"], w[3:])
+
+
+def test_create_model_hf_hub_prefix_mocked(tmp_path, monkeypatch):
+    """create_model("hf_hub:<repo>") exercised OFFLINE by mocking
+    huggingface_hub.snapshot_download — the reference's hub surface
+    (reference tests/test_models.py:79-102, skipped there for network).
+    The snapshot contains a reference-format Lightning .ckpt, so this covers
+    the hub-download -> .ckpt-detect -> torch-convert chain end to end."""
+    import huggingface_hub
+
+    cin, hid, cout, steps = 3, 5, 2, 2
+    tmodel = TorchWrapper(TorchConvLSTM(cin, hid, cout)).eval()
+    snapshot = tmp_path / "snapshot"
+    snapshot.mkdir()
+    torch.save(
+        {
+            "state_dict": tmodel.state_dict(),
+            "hyper_parameters": {
+                "input_channels": cin, "hidden_dim": hid, "out_channels": cout,
+                "forecast_steps": steps, "lr": 1e-3,
+            },
+        },
+        str(snapshot / "model.ckpt"),
+    )
+
+    calls = {}
+
+    def fake_snapshot_download(repo_id, **kwargs):
+        calls["repo_id"] = repo_id
+        return str(snapshot)
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        fake_snapshot_download)
+    model = create_model("hf_hub:openclimatefix/fake-convlstm")
+    assert calls["repo_id"] == "openclimatefix/fake-convlstm"
+    assert model.hidden_dim == hid and model.restored_variables is not None
+
+    x = np.random.default_rng(5).standard_normal((1, 2, 8, 8, cin)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel.model(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)), steps)
+    ref = ref.numpy().transpose(0, 2, 3, 4, 1)
+    got = np.asarray(model.forward(model.restored_variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_create_model_hf_hub_prefix_satflow_checkpoint(tmp_path, monkeypatch):
+    """hf_hub: snapshots that are satflow_tpu checkpoint dirs (hparams.json)
+    load through the native Orbax path instead of the torch converter."""
+    import huggingface_hub
+
+    import satflow_tpu.models  # noqa: F401
+    from satflow_tpu.data.fake import FakeDataset
+    from satflow_tpu.train.checkpoint import save_checkpoint
+    from satflow_tpu.train.state import TrainState
+
+    import optax
+
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=12, out_channels=2,
+        hidden_dim=4, forecast_steps=2,
+    )
+    ds = FakeDataset(history_minutes=15, forecast_minutes=10, length=1)
+    batch = ds[0]
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    params, model_state = model.split_variables(variables)
+    state = TrainState.create(params, model_state, optax.adam(1e-3))
+    ckpt_dir = str(tmp_path / "snapshot")
+    save_checkpoint(ckpt_dir, state, model)
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        lambda repo_id, **kw: ckpt_dir)
+    loaded = create_model("hf_hub:openclimatefix/fake-native")
+    assert loaded.hidden_dim == 4 and loaded.restored_variables is not None
+    x, _ = batch
+    y = np.asarray(loaded.forward(loaded.restored_variables,
+                                  jnp.asarray(x["sat_data"])))
+    assert y.shape[1] == 2 and np.isfinite(y).all()
