@@ -168,3 +168,81 @@ def test_dp_matches_single_device(mesh, rng):
     np.testing.assert_allclose(
         float(loss_single), float(loss_sharded), rtol=1e-5
     )
+
+
+# -----------------------------------------------------------------------------
+# Multi-host initialization (SURVEY §2.6 multi-node row): the autodetect logic
+# is unit-tested with a recorded jax.distributed.initialize — no pod needed.
+# -----------------------------------------------------------------------------
+
+
+@pytest.fixture
+def dist_module(monkeypatch):
+    import satflow_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    calls = []
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize(**kwargs):
+            calls.append(kwargs)
+
+    monkeypatch.setattr(jax, "distributed", FakeDistributed)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    return dist, calls, monkeypatch
+
+
+def test_distributed_noop_on_single_host(dist_module):
+    dist, calls, _ = dist_module
+    assert dist.maybe_initialize_distributed() is False
+    assert calls == []
+
+
+def test_distributed_explicit_triplet(dist_module):
+    dist, calls, monkeypatch = dist_module
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert dist.maybe_initialize_distributed(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2
+    ) is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    # second call is idempotent: no re-initialize
+    assert dist.maybe_initialize_distributed() is True
+    assert len(calls) == 1
+
+
+def test_distributed_env_triplet(dist_module):
+    dist, calls, monkeypatch = dist_module
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host-0:8476")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert dist.maybe_initialize_distributed() is True
+    assert calls == [{"coordinator_address": "host-0:8476",
+                      "num_processes": 2, "process_id": 1}]
+
+
+def test_distributed_tpu_pod_autodetect(dist_module):
+    dist, calls, monkeypatch = dist_module
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert dist.maybe_initialize_distributed() is True
+    assert calls == [{}]  # no-arg pod autodetect
+
+
+def test_distributed_init_failure_is_single_host(dist_module):
+    dist, calls, monkeypatch = dist_module
+
+    class Exploding:
+        @staticmethod
+        def initialize(**kwargs):
+            raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(jax, "distributed", Exploding)
+    assert dist.maybe_initialize_distributed(
+        coordinator_address="x:1", num_processes=2, process_id=0
+    ) is False
