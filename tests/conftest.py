@@ -7,18 +7,23 @@ Multi-chip hardware isn't available in CI, so sharding tests use
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SATFLOW_TPU_SMOKE=1 keeps the ambient (TPU) backend so test_tpu_smoke.py
+# can actually reach the chip: SATFLOW_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py
+_TPU_SMOKE = os.environ.get("SATFLOW_TPU_SMOKE") == "1"
+if not _TPU_SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # jaxtyping's pytest plugin imports jax before this conftest runs, so the env
 # var alone is too late — override the already-imported config too.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # Single-core CI hosts: persist compiled executables across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/satflow_tpu_jax_cache")

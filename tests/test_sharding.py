@@ -246,3 +246,71 @@ def test_distributed_init_failure_is_single_host(dist_module):
     assert dist.maybe_initialize_distributed(
         coordinator_address="x:1", num_processes=2, process_id=0
     ) is False
+
+
+# -----------------------------------------------------------------------------
+# Spatial (H-axis) parallelism: shard_map + ppermute halo exchange
+# -----------------------------------------------------------------------------
+
+
+def _spatial_mesh():
+    """(data=2, model=4): a real spatial axis, unlike the session mesh's
+    model=1."""
+    from satflow_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(axis_shapes=[2, 4])
+
+
+def test_spatial_rollout_matches_single_device(rng):
+    """The H-sharded rollout (4-way over the 'model' axis, per-step halo
+    exchange) equals ConvLSTMCore.apply on the same fused-cell params."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    mesh = _spatial_mesh()
+
+    B, T, H, W, C, HID, F = 2, 3, 32, 16, 4, 8, 4
+    x = jax.random.uniform(rng, (B, T, H, W, C), dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=HID, out_channels=C, forecast_steps=F,
+                        cell_impl="fused")
+    variables = core.init(rng, x)
+    want = np.asarray(core.apply(variables, x))
+
+    got = np.asarray(
+        convlstm_spatial_forward(variables["params"], x, F, mesh, axis="model")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_rollout_rejects_indivisible_h(rng):
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    mesh = _spatial_mesh()
+
+    x = jax.random.uniform(rng, (1, 2, 30, 16, 4))  # 30 % 4 != 0
+    core = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=2,
+                        cell_impl="fused")
+    variables = core.init(rng, x)
+    with pytest.raises(ValueError, match="divide"):
+        convlstm_spatial_forward(variables["params"], x, 2, mesh)
+
+
+def test_spatial_rollout_chunked_layout(rng):
+    """Spatial forward reads the chunked-remat (decoder/steps) param layout."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    mesh = _spatial_mesh()
+
+    B, T, H, W, C, HID, F = 1, 2, 16, 8, 4, 8, 4
+    x = jax.random.uniform(rng, (B, T, H, W, C), dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=HID, out_channels=C, forecast_steps=F,
+                        cell_impl="fused", remat=True, remat_chunk=2)
+    variables = core.init(rng, x)
+    want = np.asarray(core.apply(variables, x))
+    got = np.asarray(
+        convlstm_spatial_forward(variables["params"], x, F, mesh, axis="model")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

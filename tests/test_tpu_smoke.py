@@ -5,12 +5,13 @@ transcendental bug found during kernel bring-up), so these tiny forwards
 compile-and-run each model family on the real chip. Validated manually on
 v5e (2026-08-16): metnet/perceiver/unet/dgmr all ok.
 
-Run: JAX_PLATFORMS=axon python -m pytest tests/test_tpu_smoke.py -q
-(these tests bypass the conftest CPU forcing via their own fixture check).
+Run: SATFLOW_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
+(the env var keeps conftest from forcing the CPU backend).
 """
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from satflow_tpu.core.registry import create_model
@@ -105,3 +106,26 @@ def test_tpu_dgmr():
     _forward(model, dict(batch_size=1, width=32, height=32,
                          number_sat_channels=1, history_minutes=15,
                          forecast_minutes=10), gan=True)
+
+
+@requires_tpu
+def test_tpu_spatial_rollout_kernel_path():
+    """The spatial halo-extended step keeps the Pallas kernel on TPU (the
+    extended rows are zero-padded to %8) and matches ConvLSTMCore.apply.
+    Single chip => model axis of size 1 (the halo exchange degenerates to the
+    zero boundary), but the ext/crop kernel formulation is fully exercised."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.mesh import make_mesh
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 3, 32, 32, 8), dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=8, out_channels=8, forecast_steps=4,
+                        cell_impl="fused")
+    variables = core.init(key, x)
+    want = np.asarray(core.apply(variables, x))
+    mesh = make_mesh(axis_shapes=[1, 1], devices=jax.devices()[:1])
+    got = np.asarray(
+        convlstm_spatial_forward(variables["params"], x, 4, mesh, axis="model")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
