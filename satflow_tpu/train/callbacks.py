@@ -21,6 +21,9 @@ class Callback:
 
     def on_validation_end(self, engine, metrics: Dict[str, float], epoch: int) -> None: ...
 
+    def on_preemption(self, engine) -> None:
+        """Fired once when fit stops due to SIGTERM (engine.handle_preemption)."""
+
     def on_train_end(self, engine) -> None: ...
 
 
@@ -63,6 +66,16 @@ class ModelCheckpoint(Callback):
             save_checkpoint(
                 os.path.join(self.dirpath, "last"), engine.state, engine.model, metrics=metrics
             )
+
+    def on_preemption(self, engine) -> None:
+        """Emergency ``last`` checkpoint so a preempted run resumes with
+        optimizer state and step counters intact (resume_from_checkpoint)."""
+        from satflow_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(self.dirpath, "last"), engine.state, engine.model,
+            metrics=dict(engine.callback_metrics),
+        )
 
 
 class EarlyStopping(Callback):

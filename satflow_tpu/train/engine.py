@@ -18,6 +18,8 @@ to TPU-native mechanics:
 from __future__ import annotations
 
 import math
+import signal
+import threading
 import time
 from typing import Any, Dict, Iterable, List, Optional
 
@@ -57,6 +59,7 @@ class Trainer:
         profiler: Optional[str] = None,
         profile_dir: str = "logs/profile",
         zero_sharding: bool = False,
+        handle_preemption: bool = True,
         callbacks: Optional[List] = None,
         logger: Optional[List[BaseLogger]] = None,
         seed: int = 0,
@@ -84,6 +87,7 @@ class Trainer:
         self.profiler = profiler
         self.profile_dir = profile_dir
         self.zero_sharding = zero_sharding
+        self.handle_preemption = handle_preemption
         self.callbacks = list(callbacks or [])
         self.history = HistoryLogger()
         self.loggers: List[BaseLogger] = [self.history] + list(logger or [])
@@ -93,6 +97,7 @@ class Trainer:
         self.state = None
         self.model = None
         self.should_stop = False
+        self.preempted = False
         self.global_step = 0
         self.last_batch = None
         self._lr_schedule = None
@@ -148,6 +153,23 @@ class Trainer:
         if self.profiler:
             profile_ctx = jax.profiler.trace(self.profile_dir)
             profile_ctx.__enter__()
+
+        # Preemption safety (beyond the reference, which has no failure
+        # recovery — SURVEY §5.3): on SIGTERM (the TPU-VM/k8s preemption
+        # signal), finish the in-flight step, checkpoint through the
+        # callbacks' on_preemption hooks, and stop cleanly; the run resumes
+        # via resume_from_checkpoint with optimizer state and step counters
+        # intact.
+        prev_handler = None
+        if self.handle_preemption and threading.current_thread() is threading.main_thread():
+            def _on_sigterm(signum, frame):  # noqa: ARG001
+                log.warning(
+                    "SIGTERM: stopping after the current step and checkpointing"
+                )
+                self.preempted = True
+                self.should_stop = True
+
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
         step_rng = jax.random.PRNGKey(self.seed + 1)
         try:
@@ -214,7 +236,7 @@ class Trainer:
                     "epoch %d done in %.1fs (%d steps)",
                     epoch, time.time() - t_epoch, self.global_step,
                 )
-                if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                if (epoch + 1) % self.check_val_every_n_epoch == 0 and not self.preempted:
                     val_metrics = self._run_eval(
                         eval_step, datamodule.val_dataloader(), "val", step_rng
                     )
@@ -225,7 +247,12 @@ class Trainer:
         finally:
             if profile_ctx is not None:
                 profile_ctx.__exit__(None, None, None)
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
+        if self.preempted:
+            for cb in self.callbacks:
+                cb.on_preemption(self)
         for cb in self.callbacks:
             cb.on_train_end(self)
         for lg in self.loggers:

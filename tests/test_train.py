@@ -544,3 +544,45 @@ def test_model_artifact_logger_saves_final_checkpoint(tmp_path):
     loaded = create_model(f"local:{final}")
     assert loaded.restored_variables is not None
     assert loaded.hidden_dim == model.hidden_dim
+
+
+def test_preemption_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-fit (the TPU-VM/k8s preemption signal): the trainer
+    finishes the in-flight step, writes an emergency `last` checkpoint with
+    optimizer state + step counter, and fit returns cleanly — beyond the
+    reference, which has no failure recovery (SURVEY §5.3)."""
+    import signal as _signal
+
+    from satflow_tpu.train.callbacks import Callback
+    from satflow_tpu.train.checkpoint import restore_checkpoint
+
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    class PreemptAtStep2(Callback):
+        def on_train_batch_end(self, engine, metrics, step):
+            if step == 2:
+                os.kill(os.getpid(), _signal.SIGTERM)
+
+    model = _small_model()
+    dm = AdvectionDataModule()
+    trainer = Trainer(
+        max_epochs=50,
+        callbacks=[PreemptAtStep2(), ModelCheckpoint(dirpath=ckpt_dir)],
+        seed=0,
+    )
+    trainer.fit(model, dm)
+
+    assert trainer.preempted and trainer.should_stop
+    assert trainer.global_step <= 4  # stopped right after the signal
+    last = os.path.join(ckpt_dir, "last")
+    assert os.path.exists(last)
+    payload = restore_checkpoint(last)
+    assert int(payload["step"]) == trainer.global_step
+
+    # the saved state resumes with the step counter intact
+    model2 = _small_model()
+    trainer2 = Trainer(max_epochs=0, resume_from_checkpoint=last, seed=0)
+    trainer2.fit(model2, dm)
+    assert trainer2.global_step == trainer.global_step
+    # the default SIGTERM disposition is restored after fit
+    assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
