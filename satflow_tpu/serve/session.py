@@ -1,0 +1,201 @@
+"""Compiled inference sessions and cross-request micro-batching.
+
+``InferenceSession`` wraps a registry model (or any ``create_model`` source
+string — ``local:<ckpt>``, ``torch:<path.ckpt>``, ``hf_hub:<repo>``) behind
+ONE jitted fixed-shape forward: requests are zero-padded up to the compiled
+``max_batch`` so XLA never recompiles on traffic patterns, and the pad rows
+ride the same MXU tiles (padding to the compiled batch is cheaper than a
+recompile by ~4 orders of magnitude).
+
+``MicroBatcher`` coalesces concurrent requests into one forward call — chip
+utilization on the rollout scales with batch (docs/DESIGN.md: b16 1016 →
+b56 1357 f/s), so serving singles individually wastes most of the MXU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class InferenceSession:
+    """Fixed-shape compiled forward over a loaded model.
+
+    Parameters
+    ----------
+    model: a BaseModel instance, or a ``create_model`` source string.
+    max_batch: the compiled batch size; requests are padded up to it.
+    variables: explicit variables; defaults to ``model.restored_variables``
+        (set by checkpoint loading) and falls back to fresh init for tests.
+    dtype: optional compute dtype for the input cast (e.g. jnp.bfloat16).
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        max_batch: int = 8,
+        variables: Optional[dict] = None,
+        dtype: Any = None,
+        donate: bool = False,
+    ):
+        import jax
+
+        if isinstance(model, str):
+            from satflow_tpu.core.registry import create_model
+            import satflow_tpu.models  # noqa: F401 - populate the registry
+
+            model = create_model(model)
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.dtype = dtype
+        variables = variables if variables is not None else getattr(
+            model, "restored_variables", None
+        )
+        if variables is None:
+            raise ValueError(
+                "model has no restored_variables; load it from a checkpoint "
+                "(local:/torch:/hf_hub:) or pass variables= explicitly"
+            )
+        self._variables = variables
+        self._jitted = jax.jit(self._forward, donate_argnums=(1,) if donate else ())
+        self._lock = threading.Lock()  # one in-flight forward per session
+
+    def _forward(self, variables, x):
+        import jax.numpy as jnp
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = self.model.forward(variables, x)
+        return y.astype(jnp.float32)
+
+    @property
+    def forecast_steps(self) -> int:
+        return int(getattr(self.model, "forecast_steps", 0))
+
+    def info(self) -> dict:
+        hp = dict(self.model.hparams())
+        hp["max_batch"] = self.max_batch
+        return hp
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """(B, T, H, W, C) -> (B, forecast_steps, H', W', C') for B <= max_batch.
+
+        Pads the batch to ``max_batch`` (one compiled program) and strips the
+        pad rows from the result. Larger batches are chunked.
+        """
+        x = np.asarray(x)
+        if x.ndim == 4:  # single sample convenience
+            return self.predict(x[None])[0]
+        b = x.shape[0]
+        if b > self.max_batch:
+            outs = [
+                self.predict(x[i : i + self.max_batch])
+                for i in range(0, b, self.max_batch)
+            ]
+            return np.concatenate(outs, axis=0)
+        if b < self.max_batch:
+            pad = np.zeros((self.max_batch - b,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        with self._lock:
+            y = self._jitted(self._variables, x)
+        return np.asarray(y)[:b]
+
+
+class _Pending:
+    __slots__ = ("x", "event", "result", "error")
+
+    def __init__(self, x: np.ndarray):
+        self.x = x
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single requests into one compiled forward.
+
+    A worker thread collects requests for up to ``window_ms`` (or until
+    ``session.max_batch`` samples are queued) and runs them as one padded
+    batch. ``submit`` blocks the calling thread until its slice is ready —
+    the server handles each HTTP request on its own thread, so N concurrent
+    clients fill the batch.
+    """
+
+    def __init__(self, session: InferenceSession, window_ms: float = 5.0):
+        self.session = session
+        self.window = window_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        self.batches_run = 0  # observability: how many forwards were issued
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, x: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
+        """One (T, H, W, C) sample or (b, T, H, W, C) micro-batch."""
+        x = np.asarray(x)
+        single = x.ndim == 4
+        if single:
+            x = x[None]
+        p = _Pending(x)
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("inference request timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result[0] if single else p.result
+
+    # -- worker ---------------------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        group = [first]
+        total = first.x.shape[0]
+        deadline = _now() + self.window
+        while total < self.session.max_batch:
+            remaining = deadline - _now()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            group.append(nxt)
+            total += nxt.x.shape[0]
+        return group
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            try:
+                x = np.concatenate([p.x for p in group], axis=0)
+                y = self.session.predict(x)
+                self.batches_run += 1
+                off = 0
+                for p in group:
+                    n = p.x.shape[0]
+                    p.result = y[off : off + n]
+                    off += n
+            except BaseException as e:  # noqa: BLE001 - delivered to callers
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+
+def _now() -> float:
+    import time
+
+    return time.monotonic()

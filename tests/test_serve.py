@@ -1,0 +1,147 @@
+"""Serving path: compiled sessions, micro-batching, and the HTTP surface."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from satflow_tpu.core.registry import create_model
+import satflow_tpu.models  # noqa: F401
+from satflow_tpu.serve import InferenceSession, MicroBatcher, NowcastServer
+
+B, T, H, W, C, STEPS = 2, 3, 16, 16, 4, 2
+
+
+def _session(max_batch=4):
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=C, out_channels=C,
+        forecast_steps=STEPS, hidden_dim=8,
+    )
+    x = np.zeros((1, T, H, W, C), np.float32)
+    variables = model.module.init(jax.random.PRNGKey(0), x)
+    return InferenceSession(model, max_batch=max_batch, variables=variables)
+
+
+def test_session_pads_and_chunks():
+    s = _session(max_batch=4)
+    x = np.random.default_rng(0).random((B, T, H, W, C)).astype(np.float32)
+    y = s.predict(x)
+    assert y.shape == (B, STEPS, H, W, C)
+    # deterministic: padded-batch result equals itself sample-wise
+    y1 = s.predict(x[:1])
+    np.testing.assert_allclose(y[:1], y1, atol=1e-6)
+    # single-sample convenience and >max_batch chunking
+    y_single = s.predict(x[0])
+    assert y_single.shape == (STEPS, H, W, C)
+    big = np.concatenate([x] * 3, axis=0)  # 6 > max_batch=4
+    y_big = s.predict(big)
+    assert y_big.shape == (6, STEPS, H, W, C)
+    np.testing.assert_allclose(y_big[:B], y, atol=1e-6)
+
+
+def test_session_requires_variables():
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=C, out_channels=C,
+        forecast_steps=STEPS, hidden_dim=8,
+    )
+    with pytest.raises(ValueError, match="restored_variables"):
+        InferenceSession(model)
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    s = _session(max_batch=8)
+    mb = MicroBatcher(s, window_ms=100.0)
+    try:
+        x = np.random.default_rng(1).random((T, H, W, C)).astype(np.float32)
+        results = [None] * 6
+        errs = []
+
+        def call(i):
+            try:
+                results[i] = mb.submit(x, timeout=60.0)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for r in results:
+            assert r.shape == (STEPS, H, W, C)
+            np.testing.assert_allclose(r, results[0], atol=1e-6)
+        # 6 concurrent singles must NOT have run as 6 forwards
+        assert mb.batches_run <= 3
+    finally:
+        mb.close()
+
+
+def test_http_server_predict_info_health():
+    s = _session(max_batch=4)
+    srv = NowcastServer(s, host="127.0.0.1", port=0, window_ms=1.0)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+        info = json.loads(urllib.request.urlopen(f"{base}/info").read())
+        assert info["forecast_steps"] == STEPS and info["max_batch"] == 4
+
+        x = np.random.default_rng(2).random((B, T, H, W, C)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        y = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+        assert y.shape == (B, STEPS, H, W, C)
+        np.testing.assert_allclose(y, s.predict(x), atol=1e-6)
+
+        # malformed request -> 400 with a JSON error, server stays up
+        bad = urllib.request.Request(f"{base}/predict", data=b"not-an-npy")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+    finally:
+        srv.close()
+
+
+def test_server_serves_checkpointed_model(tmp_path):
+    """End to end: train -> checkpoint -> serve('local:...') -> HTTP predict."""
+    import optax
+
+    from satflow_tpu.data.fake import FakeDataset
+    from satflow_tpu.train.checkpoint import save_checkpoint
+    from satflow_tpu.train.state import TrainState
+
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=12, out_channels=2,
+        forecast_steps=STEPS, hidden_dim=4,
+    )
+    ds = FakeDataset(history_minutes=15, forecast_minutes=10, length=1,
+                     batch_size=2, width=H, height=W)
+    batch = ds[0]
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    params, model_state = model.split_variables(variables)
+    state = TrainState.create(params, model_state, optax.adam(1e-3))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, state, model)
+
+    srv = NowcastServer(f"local:{ckpt}", host="127.0.0.1", port=0, max_batch=2)
+    srv.start()
+    try:
+        x, _ = batch
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(x["sat_data"], np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/predict", data=buf.getvalue())
+        y = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+        assert y.shape[:2] == (2, STEPS) and np.isfinite(y).all()
+    finally:
+        srv.close()
