@@ -178,21 +178,27 @@ class MicroBatcher:
             group = self._collect()
             if not group:
                 continue
-            try:
-                x = np.concatenate([p.x for p in group], axis=0)
-                y = self.session.predict(x)
-                self.batches_run += 1
-                off = 0
-                for p in group:
-                    n = p.x.shape[0]
-                    p.result = y[off : off + n]
-                    off += n
-            except BaseException as e:  # noqa: BLE001 - delivered to callers
-                for p in group:
-                    p.error = e
-            finally:
-                for p in group:
-                    p.event.set()
+            # one forward per distinct sample shape: a misshapen request must
+            # not poison the well-formed ones sharing its window
+            by_shape: dict = {}
+            for p in group:
+                by_shape.setdefault(p.x.shape[1:], []).append(p)
+            for shaped in by_shape.values():
+                try:
+                    x = np.concatenate([p.x for p in shaped], axis=0)
+                    y = self.session.predict(x)
+                    self.batches_run += 1
+                    off = 0
+                    for p in shaped:
+                        n = p.x.shape[0]
+                        p.result = y[off : off + n]
+                        off += n
+                except BaseException as e:  # noqa: BLE001 - delivered to callers
+                    for p in shaped:
+                        p.error = e
+                finally:
+                    for p in shaped:
+                        p.event.set()
 
 
 def _now() -> float:

@@ -120,6 +120,9 @@ class Trainer:
 
     def fit(self, model, datamodule) -> Dict[str, float]:
         rng = jax.random.PRNGKey(self.seed)
+        # a reused Trainer (tune -> fit, or fit after an early stop) starts clean
+        self.should_stop = False
+        self.preempted = False
         self.model = model
         train_loader = datamodule.train_dataloader()
         if self.overfit_batches:
