@@ -38,12 +38,14 @@ class NowcastServer:
         window_ms: float = 5.0,
         variables: Optional[dict] = None,
         dtype=None,
+        out_dtype=None,
     ):
         self.session = (
             model
             if isinstance(model, InferenceSession)
             else InferenceSession(model, max_batch=max_batch,
-                                  variables=variables, dtype=dtype)
+                                  variables=variables, dtype=dtype,
+                                  out_dtype=out_dtype)
         )
         self.batcher = MicroBatcher(self.session, window_ms=window_ms)
         handler = _make_handler(self)
@@ -119,9 +121,10 @@ def _make_handler(server: NowcastServer):
 
 
 def serve(model: str, host: str = "0.0.0.0", port: int = 8500,
-          max_batch: int = 8, window_ms: float = 5.0, dtype=None) -> None:
+          max_batch: int = 8, window_ms: float = 5.0, dtype=None,
+          out_dtype=None) -> None:
     srv = NowcastServer(model, host=host, port=port, max_batch=max_batch,
-                        window_ms=window_ms, dtype=dtype)
+                        window_ms=window_ms, dtype=dtype, out_dtype=out_dtype)
     print(f"serving {model} on {host}:{srv.port} (max_batch={max_batch})")
     try:
         srv.serve_forever()
@@ -139,10 +142,13 @@ if __name__ == "__main__":
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--window-ms", type=float, default=5.0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--out-f16", action="store_true",
+                   help="serve float16 predictions (halves the transfer)")
     a = p.parse_args()
-    dtype = None
-    if a.bf16:
+    dtype = out_dtype = None
+    if a.bf16 or a.out_f16:
         import jax.numpy as jnp
 
-        dtype = jnp.bfloat16
-    serve(a.model, a.host, a.port, a.max_batch, a.window_ms, dtype)
+        dtype = jnp.bfloat16 if a.bf16 else None
+        out_dtype = jnp.float16 if a.out_f16 else None
+    serve(a.model, a.host, a.port, a.max_batch, a.window_ms, dtype, out_dtype)

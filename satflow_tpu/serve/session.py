@@ -39,6 +39,7 @@ class InferenceSession:
         max_batch: int = 8,
         variables: Optional[dict] = None,
         dtype: Any = None,
+        out_dtype: Any = None,
         donate: bool = False,
     ):
         import jax
@@ -51,6 +52,10 @@ class InferenceSession:
         self.model = model
         self.max_batch = int(max_batch)
         self.dtype = dtype
+        # wire format: predictions are cast to this before leaving the device
+        # (e.g. jnp.float16 halves the host/PCIe transfer — the dominant cost
+        # of a serving request next to the ~0.2 s forward)
+        self.out_dtype = out_dtype
         variables = variables if variables is not None else getattr(
             model, "restored_variables", None
         )
@@ -69,7 +74,7 @@ class InferenceSession:
         if self.dtype is not None:
             x = x.astype(self.dtype)
         y = self.model.forward(variables, x)
-        return y.astype(jnp.float32)
+        return y.astype(self.out_dtype or jnp.float32)
 
     @property
     def forecast_steps(self) -> int:

@@ -145,3 +145,17 @@ def test_server_serves_checkpointed_model(tmp_path):
         assert y.shape[:2] == (2, STEPS) and np.isfinite(y).all()
     finally:
         srv.close()
+
+
+def test_session_out_dtype_wire_format():
+    """out_dtype casts predictions on-device before the host fetch (the
+    transfer, not the compute, dominates a serving request)."""
+    import jax.numpy as jnp
+
+    s = _session(max_batch=2)
+    s16 = InferenceSession(s.model, max_batch=2,
+                           variables=s._variables, out_dtype=jnp.float16)
+    x = np.random.default_rng(3).random((1, T, H, W, C)).astype(np.float32)
+    y32, y16 = s.predict(x), s16.predict(x)
+    assert y16.dtype == np.float16 and y32.dtype == np.float32
+    np.testing.assert_allclose(y16.astype(np.float32), y32, atol=2e-3)
