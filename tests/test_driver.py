@@ -57,3 +57,44 @@ def test_sweep_driver_tpe_end_to_end(tmp_path, monkeypatch):
         results = json.load(f)
     assert len(results["trials"]) == 2
     assert "model.lr" in results["best_params"]
+
+
+def test_experiment_example_simple_composes_and_trains(tmp_path, monkeypatch):
+    """The template-example overlay (group overrides + param overwrites) runs
+    — unlike the reference's, which targets nonexistent MNIST modules."""
+    monkeypatch.chdir(tmp_path)
+    cfg = compose(
+        default_config_dir(),
+        overrides=[
+            "+experiment=example_simple",
+            "trainer.fast_dev_run=true",
+            "datamodule.history_minutes=15", "datamodule.forecast_minutes=10",
+            "model.forecast_steps=2", "model.input_channels=12",
+            "model.out_channels=12",
+        ],
+    )
+    assert cfg["seed"] == 12345 and cfg["model"]["hidden_dim"] == 16
+    cfg = extras(cfg)
+    result = train(cfg)
+    assert result is not None and np.isfinite(result)
+
+
+def test_experiment_example_full_inline_definitions(tmp_path, monkeypatch):
+    """example_full: every group overridden to null, all modules defined
+    inline with _target_ paths in ONE file (the reference template's
+    all-in-one-config surface, made runnable)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = compose(
+        default_config_dir(),
+        overrides=[
+            "+experiment=example_full",
+            "trainer.fast_dev_run=true",
+            "datamodule.history_minutes=15", "datamodule.forecast_minutes=20",
+        ],
+    )
+    assert cfg["model"]["_target_"].endswith("EncoderDecoderConvLSTM")
+    assert cfg["trainer"]["accumulate_grad_batches"] == 2
+    assert "model_checkpoint" in cfg["callbacks"]
+    cfg = extras(cfg)
+    result = train(cfg)
+    assert result is not None and np.isfinite(result)

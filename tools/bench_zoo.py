@@ -43,7 +43,7 @@ def _bench(name, model, ds_kw, steps, iters, gan=False):
             return model.forward(v, x)
 
     x, _ = model.prepare_batch(batch)
-    x = jnp.asarray(x)
+    x = jax.tree_util.tree_map(jnp.asarray, x)  # dict inputs (Perceiver) too
 
     @jax.jit
     def chained(v, x, k):
