@@ -290,9 +290,21 @@ class ConvLSTMCore(nn.Module):
         def step_cls(cls):
             return nn.remat(cls, prevent_cse=False) if self.remat else cls
 
+        # The param-tree layout (nested decoder/steps vs flat) must be STATIC:
+        # derive it from the configured forecast_steps, never the call-time
+        # override — otherwise apply(v, x, forecast_steps=k) would look up
+        # params in the wrong scope. The runtime chunk size re-divides the
+        # actual step count (any divisor gives the identical param tree,
+        # since params are broadcast over both scan levels; chunk 1 degrades
+        # to per-step outer scan in the nested layout).
+        chunked_layout = (
+            self.remat
+            and self.remat_chunk > 1
+            and _largest_divisor_at_most(self.forecast_steps, self.remat_chunk) > 1
+        )
         chunk = (
             _largest_divisor_at_most(steps, self.remat_chunk)
-            if (self.remat and self.remat_chunk > 1)
+            if chunked_layout
             else 1
         )
         init = (
@@ -323,7 +335,7 @@ class ConvLSTMCore(nn.Module):
             enc_cls, enc_args, enc_xs = (
                 _EncoderStep, (self.hidden_dim, self.conv_type, self.dtype), x
             )
-        if chunk > 1:
+        if chunked_layout:
             # whole-encoder remat (see _EncoderScan): its per-step carries
             # must not stay resident through the decoder backward.
             encoder = nn.remat(_EncoderScan, prevent_cse=False)(
@@ -347,7 +359,7 @@ class ConvLSTMCore(nn.Module):
         else:
             dec_cls, dec_args = _DecoderStep, (self.hidden_dim, self.conv_type,
                                                self.dtype, head_ch)
-        if chunk > 1:
+        if chunked_layout:
             # sqrt remat: outer scan of rematerialized chunk modules; only the
             # per-chunk carries are saved for the backward (see _DecoderChunk).
             decoder = nn.scan(
@@ -378,7 +390,7 @@ class ConvLSTMCore(nn.Module):
         # (1,3,3) Conv3d head == per-frame 3x3 conv (conv_lstm.py:163-169,
         # 198-202) — applied per scan step (head_in_scan) or folded over B·T.
         _, out_seq = decoder(dec_init, None)
-        if chunk > 1:
+        if chunked_layout:
             # (B, n_chunks, chunk, H, W, C) -> (B, steps, H, W, C)
             out_seq = out_seq.reshape(b, steps, *out_seq.shape[3:])
         if self.head_in_scan:

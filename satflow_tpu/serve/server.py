@@ -34,19 +34,25 @@ class NowcastServer:
         model,
         host: str = "127.0.0.1",
         port: int = 8500,
-        max_batch: int = 8,
+        max_batch: Optional[int] = None,
         window_ms: float = 5.0,
         variables: Optional[dict] = None,
         dtype=None,
         out_dtype=None,
     ):
-        self.session = (
-            model
-            if isinstance(model, InferenceSession)
-            else InferenceSession(model, max_batch=max_batch,
-                                  variables=variables, dtype=dtype,
-                                  out_dtype=out_dtype)
-        )
+        if isinstance(model, InferenceSession):
+            if any(v is not None for v in (max_batch, variables, dtype, out_dtype)):
+                raise ValueError(
+                    "max_batch/variables/dtype/out_dtype configure a NEW "
+                    "session; this InferenceSession is already compiled — "
+                    "set them on the session instead"
+                )
+            self.session = model
+        else:
+            self.session = InferenceSession(
+                model, max_batch=max_batch if max_batch is not None else 8,
+                variables=variables, dtype=dtype, out_dtype=out_dtype,
+            )
         self.batcher = MicroBatcher(self.session, window_ms=window_ms)
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -83,6 +89,10 @@ def _make_handler(server: NowcastServer):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # advertise what we're about to do (set on paths that left
+                # the request body unread)
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -97,11 +107,15 @@ def _make_handler(server: NowcastServer):
 
         def do_POST(self):  # noqa: N802
             if self.path != "/predict":
+                # the body was not read: a keep-alive peer would see its own
+                # body bytes parsed as the next request line
+                self.close_connection = True
                 self._send(404, b"not found", "text/plain")
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if not 0 < n <= _MAX_BODY:
+                    self.close_connection = True  # body left unread
                     raise ValueError(f"bad Content-Length {n}")
                 raw = self.rfile.read(n)
                 x = np.load(io.BytesIO(raw), allow_pickle=False)
@@ -114,8 +128,17 @@ def _make_handler(server: NowcastServer):
                 np.save(buf, np.ascontiguousarray(y))
                 self._send(200, buf.getvalue(), "application/octet-stream")
             except Exception as e:  # noqa: BLE001 - reported to the client
+                # 4xx only for client-side faults; overload/timeouts are 503
+                # and anything else is 500, so retry policies and LB health
+                # checks see server faults as server faults
+                if isinstance(e, TimeoutError):
+                    code = 503
+                elif isinstance(e, (ValueError, OSError, EOFError)):
+                    code = 400
+                else:
+                    code = 500
                 body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-                self._send(400, body, "application/json")
+                self._send(code, body, "application/json")
 
     return Handler
 

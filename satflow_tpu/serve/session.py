@@ -141,15 +141,30 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail queued requests immediately: their submit() callers must not
+        # sit out their full timeout against a dead worker
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("MicroBatcher closed")
+            p.event.set()
 
     def submit(self, x: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
         """One (T, H, W, C) sample or (b, T, H, W, C) micro-batch."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher closed")
         x = np.asarray(x)
         single = x.ndim == 4
         if single:
             x = x[None]
         p = _Pending(x)
         self._q.put(p)
+        if self._stop.is_set() and not p.event.is_set():
+            # raced with close(): the worker may already be gone
+            p.error = p.error or RuntimeError("MicroBatcher closed")
+            p.event.set()
         if not p.event.wait(timeout):
             raise TimeoutError("inference request timed out")
         if p.error is not None:

@@ -250,12 +250,18 @@ class Trainer:
         finally:
             if profile_ctx is not None:
                 profile_ctx.__exit__(None, None, None)
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            # Keep OUR handler installed through the emergency checkpoint:
+            # orchestrators often repeat SIGTERM during the grace period, and
+            # restoring SIG_DFL first would kill the process mid-Orbax-save —
+            # the exact corruption this feature exists to prevent.
+            try:
+                if self.preempted:
+                    for cb in self.callbacks:
+                        cb.on_preemption(self)
+            finally:
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
 
-        if self.preempted:
-            for cb in self.callbacks:
-                cb.on_preemption(self)
         for cb in self.callbacks:
             cb.on_train_end(self)
         for lg in self.loggers:

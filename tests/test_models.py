@@ -363,3 +363,32 @@ def test_chunked_remat_matches_per_step(rng):
                          cell_impl="fused", remat=True, remat_chunk=4)
     vp = prime.init(rng, x)
     assert "steps" not in vp["params"]["decoder"]
+
+
+def test_chunked_layout_static_under_steps_override(rng):
+    """The chunked param layout must not depend on the call-time
+    forecast_steps override (review finding r2): apply with a different —
+    even prime — step count must reuse the nested params."""
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    x = jax.random.uniform(rng, (1, 2, 16, 16, 4))
+    core = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=6,
+                        cell_impl="fused", remat=True, remat_chunk=3)
+    v = core.init(rng, x)
+    assert "steps" in v["params"]["decoder"]
+    y7 = core.apply(v, x, forecast_steps=7)   # prime: runtime chunk falls to 1
+    y4 = core.apply(v, x, forecast_steps=4)   # divisible by a smaller chunk
+    assert y7.shape[1] == 7 and y4.shape[1] == 4
+    assert bool(jnp.isfinite(y7).all()) and bool(jnp.isfinite(y4).all())
+    # overridden-steps rollouts agree with the same-params flat layout
+    flat = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=6,
+                        cell_impl="fused", remat=True, remat_chunk=0)
+    from satflow_tpu.models.conv_lstm import EncoderDecoderConvLSTM
+    m_flat = EncoderDecoderConvLSTM(hidden_dim=8, input_channels=4,
+                                    out_channels=4, forecast_steps=6,
+                                    remat=True, remat_chunk=0)
+    p_flat = m_flat.adapt_restored_params(v["params"])
+    np.testing.assert_allclose(
+        np.asarray(y7),
+        np.asarray(flat.apply({"params": p_flat}, x, forecast_steps=7)),
+        atol=1e-6)

@@ -159,3 +159,57 @@ def test_session_out_dtype_wire_format():
     y32, y16 = s.predict(x), s16.predict(x)
     assert y16.dtype == np.float16 and y32.dtype == np.float32
     np.testing.assert_allclose(y16.astype(np.float32), y32, atol=2e-3)
+
+
+def test_server_closes_connection_on_unread_body():
+    """404/oversize paths leave the body unread — the server must close the
+    connection so keep-alive peers can't parse body bytes as a request."""
+    import http.client
+
+    s = _session(max_batch=2)
+    srv = NowcastServer(s, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        body = b"x" * 1024
+        conn.request("POST", "/nope", body=body)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # server must have signalled close (else the next parse reads `body`)
+        assert r.headers.get("Connection", "").lower() == "close" or r.will_close
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_server_fault_status_codes():
+    """Client faults are 4xx; batcher timeouts surface as 503."""
+    import http.client
+    import io as _io
+
+    s = _session(max_batch=2)
+    srv = NowcastServer(s, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        # wrong ndim -> 400
+        buf = _io.BytesIO()
+        np.save(buf, np.zeros((3, 3), np.float32))
+        conn.request("POST", "/predict", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+
+        # a dead batcher -> RuntimeError -> 500 (server fault, not client)
+        srv.batcher.close()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        buf = _io.BytesIO()
+        np.save(buf, np.zeros((1, T, H, W, C), np.float32))
+        conn.request("POST", "/predict", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 500
+        conn.close()
+    finally:
+        srv.close()

@@ -47,11 +47,20 @@ def _bench(name, model, ds_kw, steps, iters, gan=False):
 
     @jax.jit
     def chained(v, x, k):
+        # every iteration's input depends on the previous OUTPUT (a tanh'd
+        # epsilon, not constant-foldable) so XLA cannot hoist the forward out
+        # of the while loop and report one forward as `iters`
         def body(carry, _):
-            k2, s = jax.random.split(carry)
-            out = fwd(v, x, s)
-            return k2, jnp.sum(out.astype(jnp.float32))
-        k_out, sums = jax.lax.scan(body, k, None, length=iters)
+            key, eps = carry
+            k2, s = jax.random.split(key)
+            x_i = jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype), x
+            )
+            out = fwd(v, x_i, s)
+            eps_next = jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-12
+            return (k2, eps_next), eps_next
+        (_, _), sums = jax.lax.scan(body, (k, jnp.float32(0.0)), None,
+                                    length=iters)
         return jnp.sum(sums)
 
     float(chained(variables, x, key))  # compile
