@@ -40,6 +40,7 @@ class InferenceSession:
         variables: Optional[dict] = None,
         dtype: Any = None,
         out_dtype: Any = None,
+        quantize: Optional[str] = None,
         donate: bool = False,
     ):
         import jax
@@ -50,6 +51,9 @@ class InferenceSession:
 
             model = create_model(model)
         self.model = model
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
         self.max_batch = int(max_batch)
         self.dtype = dtype
         # wire format: predictions are cast to this before leaving the device
@@ -65,7 +69,30 @@ class InferenceSession:
                 "(local:/torch:/hf_hub:) or pass variables= explicitly"
             )
         self._variables = variables
-        self._jitted = jax.jit(self._forward, donate_argnums=(1,) if donate else ())
+        if quantize == "int8":
+            # inference-only int8 rollout (fused ConvLSTM cores only): the
+            # h carries ride the scan as int8 and the gate convs run on the
+            # int8 MXU path; accuracy deltas are gated in tests/test_int8.py
+            from satflow_tpu.ops.pallas.fused_convlstm_int8 import (
+                int8_rollout,
+                quantize_convlstm_params,
+            )
+
+            self._qparams = quantize_convlstm_params(variables["params"])
+            steps = int(getattr(model, "forecast_steps"))
+
+            def _forward_int8(qp, x):
+                import jax.numpy as jnp
+
+                y = int8_rollout(qp, x, steps)
+                return y.astype(self.out_dtype or jnp.float32)
+
+            self._variables = self._qparams
+            self._jitted = jax.jit(_forward_int8)
+        else:
+            self._jitted = jax.jit(
+                self._forward, donate_argnums=(1,) if donate else ()
+            )
         self._lock = threading.Lock()  # one in-flight forward per session
 
     def _forward(self, variables, x):

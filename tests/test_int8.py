@@ -1,0 +1,96 @@
+"""int8 inference path: kernel exactness, rollout fidelity, serving hook."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import satflow_tpu.ops.pallas.fused_convlstm_int8 as i8
+from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+
+@pytest.fixture
+def quantized_cell(rng):
+    B, H, W, CX, CH = 2, 16, 16, 8, 8
+    k = iter(jax.random.split(rng, 10))
+    wx = jax.random.normal(next(k), (3, 3, CX, 4 * CH)) * 0.1
+    wh = jax.random.normal(next(k), (3, 3, CH, 4 * CH)) * 0.1
+    b = jax.random.normal(next(k), (4 * CH,)) * 0.1
+    w3q, dq, bf = i8.quantize_weights(wx, wh, b)
+    xq = i8.quantize_activations(jax.random.uniform(next(k), (B, H, W, CX)))
+    hq = i8.quantize_activations(
+        jax.random.uniform(next(k), (B, H, W, CH)) * 2 - 1
+    )
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, 0), (1, 1), (0, 0)))  # noqa: E731
+    c = (jax.random.uniform(next(k), (B, H, W, CH)) * 2 - 1).astype(jnp.bfloat16)
+    return pad(xq), pad(hq), c, w3q, dq, bf
+
+
+def test_int8_kernel_matches_integer_reference(quantized_cell, monkeypatch):
+    """Interpret-mode kernel is bit-exact vs the XLA int8 reference (integer
+    dot, identical rounding)."""
+    monkeypatch.setattr(i8, "_INTERPRET", True)
+    xq, hq, c, w3q, dq, bf = quantized_cell
+    h_k, c_k = i8.fused_convlstm_step_int8(xq, hq, c, w3q, dq, bf,
+                                           use_pallas=True)
+    h_r, c_r = i8._step_ref_int8(xq, hq, c, w3q, dq, bf)
+    assert bool(jnp.all(h_k == h_r))
+    np.testing.assert_allclose(
+        np.asarray(c_k, np.float32), np.asarray(c_r, np.float32), atol=1e-2)
+
+
+def test_int8_weight_quantization_roundtrip(rng):
+    wx = jax.random.normal(rng, (3, 3, 4, 16)) * 0.2
+    wh = jax.random.normal(jax.random.split(rng)[0], (3, 3, 4, 16)) * 0.2
+    w3q, dq, _ = i8.quantize_weights(wx, wh, jnp.zeros((16,)))
+    assert w3q.dtype == jnp.int8 and int(jnp.abs(w3q).max()) <= 127
+    # dequantized weights reconstruct within one quantization step
+    w3 = jnp.concatenate([wx.reshape(3, 12, 16), wh.reshape(3, 12, 16)], axis=1)
+    w_rec = w3q.astype(jnp.float32) * (dq * i8.ACT_SCALE)
+    step = float((jnp.abs(w3).max(axis=(0, 1)) / 127.0).max())
+    assert float(jnp.abs(w_rec - w3).max()) <= step + 1e-6
+
+
+def test_int8_rollout_close_to_bf16(rng):
+    """End-to-end int8 rollout tracks the f32/bf16 rollout: small absolute
+    deviation on the sigmoid outputs AND near-1 SSIM between the two."""
+    from satflow_tpu.nn.losses import get_loss
+
+    B, T, S, C, HID, F = 2, 3, 16, 4, 8, 6
+    x = jax.random.uniform(rng, (B, T, S, S, C))
+    core = ConvLSTMCore(hidden_dim=HID, out_channels=C, forecast_steps=F,
+                        cell_impl="fused")
+    v = core.init(jax.random.split(rng)[0], x)
+    y_ref = np.asarray(core.apply(v, x), np.float32)
+    qp = i8.quantize_convlstm_params(v["params"])
+    y_i8 = np.asarray(i8.int8_rollout(qp, x, F), np.float32)
+    assert y_i8.shape == y_ref.shape
+    assert float(np.abs(y_ref - y_i8).max()) < 0.02
+    ssim = get_loss("ssim", convert_range=False)
+    # ssim loss is 1 - ssim: near 0 when the rollouts agree
+    a = jnp.asarray(y_ref).reshape(B * F, S, S, C)
+    b = jnp.asarray(y_i8).reshape(B * F, S, S, C)
+    assert float(ssim(a, b)) < 0.01
+
+
+def test_int8_inference_session(rng):
+    """InferenceSession(quantize='int8') serves the quantized rollout."""
+    from satflow_tpu.core.registry import create_model
+    import satflow_tpu.models  # noqa: F401
+    from satflow_tpu.serve import InferenceSession
+
+    B, T, S, C = 2, 3, 16, 4
+    model = create_model("encoderdecoderconvlstm", input_channels=C,
+                         out_channels=C, forecast_steps=4, hidden_dim=8,
+                         cell_impl="fused")
+    x = np.random.default_rng(0).random((B, T, S, S, C)).astype(np.float32)
+    variables = model.module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    s_bf = InferenceSession(model, max_batch=2, variables=variables)
+    s_i8 = InferenceSession(model, max_batch=2, variables=variables,
+                            quantize="int8")
+    y_bf, y_i8 = s_bf.predict(x), s_i8.predict(x)
+    assert y_i8.shape == y_bf.shape
+    assert float(np.abs(y_bf - y_i8).max()) < 0.02
+
+    with pytest.raises(ValueError, match="quantize"):
+        InferenceSession(model, variables=variables, quantize="int4")
