@@ -89,6 +89,24 @@ class InferenceSession:
 
             self._variables = self._qparams
             self._jitted = jax.jit(_forward_int8)
+        elif getattr(model, "is_gan", False):
+            # generative families (CloudGAN / DGMR): serve generator samples.
+            # The rng is derived from a per-call counter so repeated requests
+            # draw fresh samples while the compiled program stays fixed.
+            self._sample_counter = 0
+
+            def _forward_gan(variables, x, seed):
+                import jax.numpy as jnp
+
+                rng = jax.random.PRNGKey(0)
+                rng = jax.random.fold_in(rng, seed)
+                if self.dtype is not None:
+                    x = x.astype(self.dtype)
+                y, _ = model.generate(variables, x, rng, train=False)
+                return y.astype(self.out_dtype or jnp.float32)
+
+            self._jitted_gan = jax.jit(_forward_gan)
+            self._jitted = None
         else:
             self._jitted = jax.jit(
                 self._forward, donate_argnums=(1,) if donate else ()
@@ -132,7 +150,12 @@ class InferenceSession:
             pad = np.zeros((self.max_batch - b,) + x.shape[1:], x.dtype)
             x = np.concatenate([x, pad], axis=0)
         with self._lock:
-            y = self._jitted(self._variables, x)
+            if self._jitted is None:  # GAN sampling path
+                seed = self._sample_counter
+                self._sample_counter += 1
+                y = self._jitted_gan(self._variables, x, seed)
+            else:
+                y = self._jitted(self._variables, x)
         return np.asarray(y)[:b]
 
 

@@ -213,3 +213,25 @@ def test_server_fault_status_codes():
         conn.close()
     finally:
         srv.close()
+
+
+def test_session_serves_gan_samples():
+    """GAN families serve generator samples: fresh draws per request, fixed
+    compiled program (the rng comes from a per-call counter)."""
+    from satflow_tpu.data.fake import AdvectionDataset
+
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2,
+        channels_per_timestep=2, num_filters=4, features_start=4,
+        unet_depth=2,
+    )
+    ds = AdvectionDataset(batch_size=2, width=16, height=16,
+                          number_sat_channels=2, history_minutes=15,
+                          forecast_minutes=10, length=1)
+    batch = ds[0]
+    g_vars, _ = model.init_gan_variables(jax.random.PRNGKey(0), batch)
+    s = InferenceSession(model, max_batch=2, variables=g_vars)
+    x, _ = model.prepare_batch(batch)
+    y1 = s.predict(np.asarray(x))
+    y2 = s.predict(np.asarray(x))
+    assert y1.shape[0] == 2 and np.isfinite(y1).all() and np.isfinite(y2).all()
