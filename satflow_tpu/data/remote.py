@@ -254,11 +254,28 @@ class RemoteBatchStore:
             self._evict_locked()
         return batch
 
-    def _ensure_local_unlocked(self, name: str) -> str:
-        """Like _ensure_local but assumes the caller holds the file lock."""
+    def _ensure_local_unlocked(self, name: str, retries: int = 3) -> str:
+        """Like _ensure_local but assumes the caller holds the file lock.
+
+        Transient transport failures (network flakes, throttling) retry with
+        exponential backoff; the last error propagates."""
+        import time
+
         local_path = os.path.join(self.cache_dir, name)
         if not os.path.exists(local_path):
             tmp = local_path + ".part"
-            self._fetcher["fetch"](_join_url(self.url, name), tmp)
+            last: Optional[BaseException] = None
+            for attempt in range(retries):
+                try:
+                    self._fetcher["fetch"](_join_url(self.url, name), tmp)
+                    last = None
+                    break
+                except FileNotFoundError:
+                    raise  # a missing object will not appear on retry
+                except Exception as e:  # noqa: BLE001 - retried, then raised
+                    last = e
+                    time.sleep(0.1 * (2 ** attempt))
+            if last is not None:
+                raise last
             os.replace(tmp, local_path)
         return local_path

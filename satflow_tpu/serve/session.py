@@ -41,6 +41,7 @@ class InferenceSession:
         dtype: Any = None,
         out_dtype: Any = None,
         quantize: Optional[str] = None,
+        mesh: Any = None,
         donate: bool = False,
     ):
         import jax
@@ -54,6 +55,15 @@ class InferenceSession:
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.quantize = quantize
+        # DP serving: shard each padded request batch over mesh['data'] so
+        # one session drives every chip on the host; XLA compiles the sharded
+        # program once (multi-chip analog of the training data layout)
+        self.mesh = mesh
+        if mesh is not None and int(max_batch) % mesh.shape["data"]:
+            raise ValueError(
+                f"max_batch={max_batch} must divide by the data axis "
+                f"({mesh.shape['data']}) for sharded serving"
+            )
         self.max_batch = int(max_batch)
         self.dtype = dtype
         # wire format: predictions are cast to this before leaving the device
@@ -149,6 +159,11 @@ class InferenceSession:
         if b < self.max_batch:
             pad = np.zeros((self.max_batch - b,) + x.shape[1:], x.dtype)
             x = np.concatenate([x, pad], axis=0)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
         with self._lock:
             if self._jitted is None:  # GAN sampling path
                 seed = self._sample_counter

@@ -283,3 +283,56 @@ def test_aws_datamodule_composes_and_trains(tmp_path, mock_s3, monkeypatch):
     # temp cache stayed bounded
     files = [f for f in os.listdir(f"{tmp_path}/tmp/train") if f.endswith(".npz")]
     assert len(files) <= 2
+
+
+def test_remote_fetch_retries_transient_failures(tmp_path):
+    """Transient transport errors retry with backoff; missing objects don't."""
+    import numpy as np
+
+    from satflow_tpu.data import consts
+    from satflow_tpu.data.datasets import NpzBatchStore
+    from satflow_tpu.data.remote import (
+        RemoteBatchStore,
+        register_fetcher,
+        unregister_fetcher,
+    )
+
+    src = tmp_path / "bucket"
+    NpzBatchStore(str(src)).write(0, {consts.SATELLITE_DATA: np.zeros((1, 2, 4, 4, 1), np.float32)})
+    calls = {"n": 0}
+
+    def flaky_fetch(url, local):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        import shutil
+
+        shutil.copy(str(src / url.split("/")[-1]), local)
+
+    def list_files(url):
+        return ["batch_0.npz"]
+
+    register_fetcher("flaky", flaky_fetch, list_files)
+    try:
+        store = RemoteBatchStore("flaky://bucket", cache_dir=str(tmp_path / "c"))
+        batch = store.read(0)
+        assert consts.SATELLITE_DATA in batch and calls["n"] == 3
+
+        # a missing object raises immediately (no retry loop)
+        calls["n"] = 0
+
+        def missing_fetch(url, local):
+            calls["n"] += 1
+            raise FileNotFoundError(url)
+
+        register_fetcher("gone", missing_fetch, list_files)
+        store2 = RemoteBatchStore("gone://bucket", cache_dir=str(tmp_path / "c2"),
+                                  pattern="batch_{idx}.npz")
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            store2.read(0)
+        assert calls["n"] == 1
+    finally:
+        unregister_fetcher("flaky")
+        unregister_fetcher("gone")

@@ -235,3 +235,20 @@ def test_session_serves_gan_samples():
     y1 = s.predict(np.asarray(x))
     y2 = s.predict(np.asarray(x))
     assert y1.shape[0] == 2 and np.isfinite(y1).all() and np.isfinite(y2).all()
+
+
+def test_session_dp_sharded_serving():
+    """mesh= shards each padded request over the data axis (one session
+    drives all chips); results equal the single-device session."""
+    from satflow_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()  # (data=8, model=1) on the virtual CPU mesh
+    s1 = _session(max_batch=8)
+    s8 = InferenceSession(s1.model, max_batch=8, variables=s1._variables,
+                          mesh=mesh)
+    x = np.random.default_rng(7).random((3, T, H, W, C)).astype(np.float32)
+    np.testing.assert_allclose(s8.predict(x), s1.predict(x), atol=1e-5)
+
+    with pytest.raises(ValueError, match="data axis"):
+        InferenceSession(s1.model, max_batch=3, variables=s1._variables,
+                         mesh=mesh)
