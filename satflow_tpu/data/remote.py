@@ -274,7 +274,8 @@ class RemoteBatchStore:
                     raise  # a missing object will not appear on retry
                 except Exception as e:  # noqa: BLE001 - retried, then raised
                     last = e
-                    time.sleep(0.1 * (2 ** attempt))
+                    if attempt < retries - 1:  # no pointless final backoff
+                        time.sleep(0.1 * (2 ** attempt))
             if last is not None:
                 raise last
             os.replace(tmp, local_path)

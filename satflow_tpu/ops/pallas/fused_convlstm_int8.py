@@ -23,6 +23,7 @@ serving mode; accuracy deltas are gated in tests/test_int8.py).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -165,8 +166,6 @@ def _step_ref_int8(xq, hq, c, w3q, dequant, b):
     return hq_next, c_next.astype(c.dtype)
 
 
-import os
-
 _BLOCK_H = int(os.environ.get("SATFLOW_INT8_BLOCK_H", "8"))
 
 
@@ -186,7 +185,7 @@ def fused_convlstm_step_int8(xq, hq, c, w3q, dequant, b, use_pallas=None,
             and c.shape[-1] % 8 == 0
         )
     if not use:
-        return _step_ref_int8_padded(xq, hq, c, w3q, dequant, b)
+        return _step_ref_int8(xq, hq, c, w3q, dequant, b)
     bsz, height, wp2, cx = xq.shape
     width = wp2 - 2
     ch = c.shape[-1]
@@ -240,11 +239,6 @@ def fused_convlstm_step_int8(xq, hq, c, w3q, dequant, b, use_pallas=None,
         interpret=_INTERPRET,
     )(xq, xq, xq, hq, hq, hq, c, w3q, dequant, b)
     return h_next, c_next
-
-
-def _step_ref_int8_padded(xq, hq, c, w3q, dequant, b):
-    """Alias kept for symmetry with the bf16 module's naming."""
-    return _step_ref_int8(xq, hq, c, w3q, dequant, b)
 
 
 # ---------------------------------------------------------------------------

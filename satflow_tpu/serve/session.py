@@ -54,16 +54,28 @@ class InferenceSession:
         self.model = model
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize and getattr(model, "is_gan", False):
+            raise ValueError("int8 serving supports forward models only")
         self.quantize = quantize
         # DP serving: shard each padded request batch over mesh['data'] so
         # one session drives every chip on the host; XLA compiles the sharded
         # program once (multi-chip analog of the training data layout)
         self.mesh = mesh
-        if mesh is not None and int(max_batch) % mesh.shape["data"]:
-            raise ValueError(
-                f"max_batch={max_batch} must divide by the data axis "
-                f"({mesh.shape['data']}) for sharded serving"
-            )
+        if mesh is not None:
+            if quantize is not None:
+                # the int8 rollout is a Mosaic custom call GSPMD cannot
+                # auto-partition — DP-shard the bf16 path instead
+                raise ValueError("mesh-sharded serving does not support "
+                                 "quantize='int8'")
+            if "data" not in mesh.shape:
+                raise ValueError(
+                    f"mesh axes {tuple(mesh.shape)} lack a 'data' axis"
+                )
+            if int(max_batch) % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_batch={max_batch} must divide by the data axis "
+                    f"({mesh.shape['data']}) for sharded serving"
+                )
         self.max_batch = int(max_batch)
         self.dtype = dtype
         # wire format: predictions are cast to this before leaving the device
@@ -83,12 +95,23 @@ class InferenceSession:
             # inference-only int8 rollout (fused ConvLSTM cores only): the
             # h carries ride the scan as int8 and the gate convs run on the
             # int8 MXU path; accuracy deltas are gated in tests/test_int8.py
+            if dtype is not None or donate:
+                raise ValueError(
+                    "dtype/donate do not apply to quantize='int8' (the "
+                    "rollout quantizes its own inputs)"
+                )
             from satflow_tpu.ops.pallas.fused_convlstm_int8 import (
                 int8_rollout,
                 quantize_convlstm_params,
             )
 
-            self._qparams = quantize_convlstm_params(variables["params"])
+            try:
+                self._qparams = quantize_convlstm_params(variables["params"])
+            except (KeyError, ValueError) as e:
+                raise ValueError(
+                    "int8 serving requires a fused-cell ConvLSTM model "
+                    "(EncoderDecoderConvLSTM with cell_impl='fused')"
+                ) from e
             steps = int(getattr(model, "forecast_steps"))
 
             def _forward_int8(qp, x):
@@ -103,6 +126,16 @@ class InferenceSession:
             # generative families (CloudGAN / DGMR): serve generator samples.
             # The rng is derived from a per-call counter so repeated requests
             # draw fresh samples while the compiled program stays fixed.
+            if donate:
+                raise ValueError("donate is not supported on the GAN path")
+            # checkpoint-loaded GAN models carry BOTH networks
+            # ({'params': {'generator', 'discriminator'}, 'g', 'd'} — see
+            # train/checkpoint.py); serving needs the generator subtree.
+            if "generator" in (variables.get("params") or {}):
+                self._variables = {
+                    "params": variables["params"]["generator"],
+                    **(variables.get("g") or {}),
+                }
             self._sample_counter = 0
 
             def _forward_gan(variables, x, seed):
@@ -161,9 +194,10 @@ class InferenceSession:
             x = np.concatenate([x, pad], axis=0)
         if self.mesh is not None:
             import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
+            from satflow_tpu.parallel.mesh import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(self.mesh))
         with self._lock:
             if self._jitted is None:  # GAN sampling path
                 seed = self._sample_counter

@@ -216,8 +216,9 @@ def test_server_fault_status_codes():
 
 
 def test_session_serves_gan_samples():
-    """GAN families serve generator samples: fresh draws per request, fixed
-    compiled program (the rng comes from a per-call counter)."""
+    """GAN families serve generator samples. CloudGAN's generator is
+    deterministic (conditional UNet, no latent) — same input, same frames;
+    DGMR draws latents — the per-call seed counter yields fresh samples."""
     from satflow_tpu.data.fake import AdvectionDataset
 
     model = create_model(
@@ -235,6 +236,64 @@ def test_session_serves_gan_samples():
     y1 = s.predict(np.asarray(x))
     y2 = s.predict(np.asarray(x))
     assert y1.shape[0] == 2 and np.isfinite(y1).all() and np.isfinite(y2).all()
+    np.testing.assert_allclose(y1, y2, atol=1e-6)  # no latent: deterministic
+
+
+def test_session_dgmr_fresh_samples_per_request():
+    """DGMR sampling: repeated requests draw DIFFERENT latents (per-call
+    seed counter) through one fixed compiled program."""
+    from satflow_tpu.data.fake import AdvectionDataset
+
+    model = create_model(
+        "nowcastinggan", forecast_steps=2, input_channels=1, output_shape=32,
+        context_channels=16, latent_channels=32, disc_channels=4,
+        disc_spatial_layers=2, disc_temporal_layers=1, num_samples=1,
+    )
+    ds = AdvectionDataset(batch_size=1, width=32, height=32,
+                          number_sat_channels=1, history_minutes=15,
+                          forecast_minutes=10, length=1)
+    batch = ds[0]
+    g_vars, _ = model.init_gan_variables(jax.random.PRNGKey(0), batch)
+    s = InferenceSession(model, max_batch=1, variables=g_vars)
+    x, _ = model.prepare_batch(batch)
+    y1 = s.predict(np.asarray(x))
+    y2 = s.predict(np.asarray(x))
+    assert np.isfinite(y1).all() and np.isfinite(y2).all()
+    assert not np.allclose(y1, y2)  # fresh latent draw per request
+
+
+def test_session_gan_checkpoint_layout(tmp_path):
+    """A checkpoint-loaded GAN (params={'generator','discriminator'}) serves
+    through the generator subtree — the local:<ckpt> serving path."""
+    import optax
+
+    from satflow_tpu.data.fake import AdvectionDataset
+    from satflow_tpu.train.checkpoint import save_checkpoint
+    from satflow_tpu.train.state import GANTrainState
+
+    model = create_model(
+        "cloudgan", forecast_steps=2, input_channels=2,
+        channels_per_timestep=2, num_filters=4, features_start=4,
+        unet_depth=2,
+    )
+    ds = AdvectionDataset(batch_size=2, width=16, height=16,
+                          number_sat_channels=2, history_minutes=15,
+                          forecast_minutes=10, length=1)
+    batch = ds[0]
+    g_vars, d_vars = model.init_gan_variables(jax.random.PRNGKey(0), batch)
+    g_params, g_state = model.split_variables(g_vars)
+    d_params, d_state = model.split_variables(d_vars)
+    state = GANTrainState.create(
+        g_params, d_params, {"g": g_state, "d": d_state},
+        optax.adam(1e-4), optax.adam(1e-4),
+    )
+    ckpt = str(tmp_path / "gan_ck")
+    save_checkpoint(ckpt, state, model)
+
+    s = InferenceSession(f"local:{ckpt}", max_batch=2)
+    x, _ = model.prepare_batch(batch)
+    y = s.predict(np.asarray(x))
+    assert y.shape[0] == 2 and np.isfinite(y).all()
 
 
 def test_session_dp_sharded_serving():
