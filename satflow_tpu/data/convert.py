@@ -1,0 +1,50 @@
+"""Convert a batch store to .sfb for the native C++ ingest fast path.
+
+The production data layer reads pre-batched files; the reference ecosystem
+dumps ``batch_{i}.nc`` (NetCDF) or this repo's ``batch_{i}.npz``. The native
+loader (native/ingest.cc) is ~10× faster per core on ``.sfb`` — this CLI
+migrates any readable store (local npz/nc dir, or a remote gs://-style URL
+through the bounded-cache RemoteBatchStore) into an .sfb directory once, so
+training runs take the fast path.
+
+Usage:
+    python -m satflow_tpu.data.convert SRC DST [--limit N] [--start I]
+    # SRC: directory or remote URL of batch_{i}.(npz|nc); DST: .sfb dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def convert(src: str, dst: str, limit: int | None = None,
+            start: int = 0, temp_path: str = ".", verbose: bool = True) -> int:
+    from satflow_tpu.data.datasets import SfbBatchStore, open_batch_store
+
+    store = open_batch_store(src, temp_path=temp_path)
+    out = SfbBatchStore(dst)
+    n = len(store)
+    end = n if limit is None else min(n, start + limit)
+    for i in range(start, end):
+        out.write(i, store.read(i))
+        if verbose and (i - start) % 50 == 0:
+            print(f"[{i + 1}/{end}] batch_{i}.sfb", file=sys.stderr)
+    return end - start
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("src", help="source store: dir or remote URL of batch files")
+    p.add_argument("dst", help="destination directory for batch_{i}.sfb")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--temp-path", default=".",
+                   help="download cache for remote sources")
+    a = p.parse_args(argv)
+    n = convert(a.src, a.dst, a.limit, a.start, a.temp_path)
+    print(f"converted {n} batches -> {a.dst}")
+
+
+if __name__ == "__main__":
+    main()

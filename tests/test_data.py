@@ -145,3 +145,30 @@ def test_prefetcher_propagates_worker_errors():
     assert next(it) == 0
     with pytest.raises(ValueError, match="bad batch"):
         next(it)
+
+
+def test_convert_store_to_sfb(tmp_path):
+    """The conversion CLI migrates an npz store to .sfb; the native reader
+    returns identical arrays (skipped where the C++ loader can't build)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from satflow_tpu.data.datasets import SfbBatchStore, write_fake_store
+    from satflow_tpu.data.native_ingest import native_available
+
+    if not native_available(auto_build=True):
+        _pytest.skip("native ingest library unavailable")
+
+    from satflow_tpu.data.convert import convert
+    from satflow_tpu.data.datasets import NpzBatchStore
+
+    src = str(tmp_path / "npz")
+    dst = str(tmp_path / "sfb")
+    write_fake_store(src, n_batches=3, batch_size=2, size=8)
+    n = convert(src, dst, verbose=False)
+    assert n == 3
+    a = NpzBatchStore(src).read(1)
+    b = SfbBatchStore(dst).read(1)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

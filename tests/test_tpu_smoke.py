@@ -129,3 +129,21 @@ def test_tpu_spatial_rollout_kernel_path():
         convlstm_spatial_forward(variables["params"], x, 4, mesh, axis="model")
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@requires_tpu
+def test_tpu_int8_rollout():
+    """The int8 fused step compiles and runs on hardware; the quantized
+    rollout tracks bf16 within the gated fidelity bound."""
+    import satflow_tpu.ops.pallas.fused_convlstm_int8 as i8
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 3, 32, 32, 8), dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=8, out_channels=8, forecast_steps=4,
+                        cell_impl="fused")
+    v = core.init(key, x)
+    y_bf = np.asarray(core.apply(v, x), np.float32)
+    qp = i8.quantize_convlstm_params(v["params"])
+    y_i8 = np.asarray(i8.int8_rollout(qp, x, 4), np.float32)
+    assert float(np.abs(y_bf - y_i8).max()) < 0.02
