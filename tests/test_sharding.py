@@ -314,3 +314,30 @@ def test_spatial_rollout_chunked_layout(rng):
         convlstm_spatial_forward(variables["params"], x, F, mesh, axis="model")
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_rollout_gradients_match(rng):
+    """Spatial parallelism TRAINS: jax.grad through shard_map + ppermute +
+    the fused step's custom VJP equals the single-device gradient (the halo
+    ppermutes transpose automatically; the kernel backward runs per shard)."""
+    import jax.tree_util as jtu
+
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    mesh = _spatial_mesh()
+    B, T, H, W, C, HID, F = 2, 3, 32, 16, 4, 8, 4
+    x = jax.random.uniform(rng, (B, T, H, W, C), dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=HID, out_channels=C, forecast_steps=F,
+                        cell_impl="fused")
+    v = core.init(rng, x)
+
+    g_sp = jax.grad(lambda p: jnp.sum(
+        (convlstm_spatial_forward(p, x, F, mesh, axis="model") - 0.5) ** 2
+    ))(v["params"])
+    g_ref = jax.grad(lambda p: jnp.sum(
+        (core.apply({"params": p}, x) - 0.5) ** 2
+    ))(v["params"])
+    err = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_sp, dict(g_ref))))
+    assert err < 1e-4, f"spatial gradients diverge: {err}"
