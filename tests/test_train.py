@@ -586,3 +586,21 @@ def test_preemption_sigterm_checkpoints_and_stops(tmp_path):
     assert trainer2.global_step == trainer.global_step
     # the default SIGTERM disposition is restored after fit
     assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
+
+
+def test_training_is_deterministic_with_seed():
+    """Two fits with the same seed produce identical parameters — the
+    deterministic-seed discipline SURVEY §5.2 prescribes in place of
+    sanitizers (threefry is partitionable+stable; data is seed-derived)."""
+    import jax.tree_util as jtu
+
+    def run():
+        model = _small_model()
+        dm = AdvectionDataModule()
+        trainer = Trainer(max_epochs=1, seed=123)
+        trainer.fit(model, dm)
+        return jax.device_get(trainer.state.params)
+
+    p1, p2 = run(), run()
+    for a, b in zip(jtu.tree_leaves(p1), jtu.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
