@@ -295,9 +295,26 @@ def _step_pallas_halo(x, h, c, wx, wh, b, block_h: int = 8):
 _STEP_VARIANT = "3pass"
 
 
-def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vmem
+def _pick_block_h(height: int, width: int, cx: int, ch: int,
+                  requested: Optional[int] = None) -> int:
+    """Forward row-block: 8 at production widths (VMEM-bound), larger for
+    small images where blocks are cheap (64px: bh=32 measures 5.6% faster
+    than bh=8 on v5e — fewer grid steps, fatter matmuls)."""
+    if requested is not None:
+        bh = requested
+    elif width * max(cx, ch) >= 256 * 64:
+        bh = 8
+    else:
+        bh = 32
+    while height % bh:
+        bh //= 2
+    return max(bh, 1)
+
+
+def _step_pallas(x, h, c, wx, wh, b, block_h=None):
     bsz, height, width, cx = x.shape
     ch = c.shape[-1]
+    block_h = _pick_block_h(height, width, cx, ch, block_h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))  # W halo via cheap pad
     hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
     # weight layout (3, 3Cx+3Ch, 4Ch): per kernel row dy, the contraction is
@@ -369,10 +386,11 @@ def _step_pallas(x, h, c, wx, wh, b, block_h: int = 8):  # 16 exceeds scoped vme
 # ---------------------------------------------------------------------------
 
 
-def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h: int = 8):
+def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None):
     bsz, height, wp2, cx = xp.shape
     width = wp2 - 2
     ch = c.shape[-1]
+    block_h = _pick_block_h(height, width, cx, ch, block_h)
     w3 = jnp.concatenate(
         [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
     )
