@@ -98,3 +98,22 @@ def test_experiment_example_full_inline_definitions(tmp_path, monkeypatch):
     cfg = extras(cfg)
     result = train(cfg)
     assert result is not None and np.isfinite(result)
+
+
+def test_run_cli_multirun_flag(tmp_path, monkeypatch):
+    """run.main(['--multirun', ...]) enters the sweep branch end to end."""
+    from satflow_tpu.run import main as run_main
+
+    monkeypatch.chdir(tmp_path)
+    result = run_main([
+        "--multirun",
+        "model.hidden_dim=4", "model.forecast_steps=2",
+        "model.out_channels=12", "model.input_channels=12",
+        "datamodule.history_minutes=15", "datamodule.forecast_minutes=10",
+        "trainer=debug", "trainer.max_epochs=1", "~logger",
+        "print_config=false",
+        "+hparams_search=convlstm_optuna",
+        "hparams_search.n_trials=1",
+        "hparams_search.n_startup_trials=1",
+    ])
+    assert result is not None and np.isfinite(result)
