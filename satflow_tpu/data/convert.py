@@ -24,8 +24,20 @@ def convert(src: str, dst: str, limit: int | None = None,
 
     store = open_batch_store(src, temp_path=temp_path)
     out = SfbBatchStore(dst)
-    n = len(store)
-    end = n if limit is None else min(n, start + limit)
+    try:
+        n = len(store)
+    except (ValueError, TypeError):
+        # list-less transports (anonymous-HTTPS s3) cannot len(); a bounded
+        # conversion doesn't need to
+        n = None
+    if limit is not None:
+        end = start + limit if n is None else min(n, start + limit)
+    elif n is None:
+        raise ValueError("source cannot be listed; pass --limit")
+    else:
+        end = n
+    if start >= end:
+        raise ValueError(f"start={start} is at/past the end ({end})")
     for i in range(start, end):
         out.write(i, store.read(i))
         if verbose and (i - start) % 50 == 0:

@@ -189,10 +189,11 @@ def fused_convlstm_step_int8(xq, hq, c, w3q, dequant, b, use_pallas=None,
     bsz, height, wp2, cx = xq.shape
     width = wp2 - 2
     ch = c.shape[-1]
+    from satflow_tpu.ops.pallas.fused_convlstm_step import _normalize_block_h
+
     if block_h is None:
-        block_h = _BLOCK_H  # int8 blocks are half the bytes: 16 fits VMEM
-    while height % block_h:
-        block_h //= 2
+        block_h = _BLOCK_H
+    block_h = _normalize_block_h(height, block_h)
     n_blocks = height // block_h
     grid = (bsz, n_blocks)
 

@@ -295,26 +295,37 @@ def _step_pallas_halo(x, h, c, wx, wh, b, block_h: int = 8):
 _STEP_VARIANT = "3pass"
 
 
-def _pick_block_h(height: int, width: int, cx: int, ch: int,
-                  requested: Optional[int] = None) -> int:
-    """Forward row-block: 8 at production widths (VMEM-bound), larger for
-    small images where blocks are cheap (64px: bh=32 measures 5.6% faster
-    than bh=8 on v5e — fewer grid steps, fatter matmuls)."""
-    if requested is not None:
-        bh = requested
-    elif width * max(cx, ch) >= 256 * 64:
-        bh = 8
-    else:
-        bh = 32
+def _normalize_block_h(height: int, bh: int) -> int:
+    """Halve the row block until it divides the image height."""
     while height % bh:
         bh //= 2
     return max(bh, 1)
 
 
+def _pick_block_h(height: int, width: int, cx: int, ch: int,
+                  requested: Optional[int] = None, itemsize: int = 2) -> int:
+    """Forward row-block size, holding the PROVEN VMEM footprint invariant.
+
+    The production configuration (bf16, bh=8, W=256, Cx=Ch=64) is known to
+    fit scoped VMEM and bh=16 there is known NOT to — i.e. the budget is
+    rows x K = 2048 x 384 im2col elements at 2 bytes each. Smaller widths/
+    channels leave headroom, so scale bh up (capped at 32) to keep the
+    byte footprint at the proven budget: fewer grid steps, fatter matmuls
+    (64px bf16: bh=32 measures 1.059 vs 1.118 ms/step on v5e, +5.6%;
+    128px/64ch bf16 gets bh=16, measured correct; f32 halves the rows)."""
+    if requested is not None:
+        return _normalize_block_h(height, requested)
+    budget = 2048 * 384 * 2  # bytes: the proven bf16 bh=8 production config
+    k = 3 * (cx + ch)
+    bh = max(8, min(32, budget // max(width * k * itemsize, 1)))
+    bh = 1 << (bh.bit_length() - 1)  # power of two for clean halving
+    return _normalize_block_h(height, bh)
+
+
 def _step_pallas(x, h, c, wx, wh, b, block_h=None):
     bsz, height, width, cx = x.shape
     ch = c.shape[-1]
-    block_h = _pick_block_h(height, width, cx, ch, block_h)
+    block_h = _pick_block_h(height, width, cx, ch, block_h, x.dtype.itemsize)
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))  # W halo via cheap pad
     hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
     # weight layout (3, 3Cx+3Ch, 4Ch): per kernel row dy, the contraction is
@@ -390,7 +401,7 @@ def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None):
     bsz, height, wp2, cx = xp.shape
     width = wp2 - 2
     ch = c.shape[-1]
-    block_h = _pick_block_h(height, width, cx, ch, block_h)
+    block_h = _pick_block_h(height, width, cx, ch, block_h, xp.dtype.itemsize)
     w3 = jnp.concatenate(
         [wx.reshape(3, 3 * cx, 4 * ch), wh.reshape(3, 3 * ch, 4 * ch)], axis=1
     )
