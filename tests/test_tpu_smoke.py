@@ -147,3 +147,39 @@ def test_tpu_int8_rollout():
     qp = i8.quantize_convlstm_params(v["params"])
     y_i8 = np.asarray(i8.int8_rollout(qp, x, 4), np.float32)
     assert float(np.abs(y_bf - y_i8).max()) < 0.02
+
+
+@requires_tpu
+def test_tpu_inference_session():
+    """The serving session's compiled forward (pad-to-max_batch, bf16) runs
+    on hardware; micro-batched concurrent requests agree with direct calls."""
+    import threading
+
+    from satflow_tpu.serve import InferenceSession, MicroBatcher
+
+    model = create_model("encoderdecoderconvlstm", input_channels=12,
+                         out_channels=12, forecast_steps=4, hidden_dim=32,
+                         dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).random((1, 3, 64, 64, 12)).astype(np.float32)
+    variables = model.module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    s = InferenceSession(model, max_batch=4, variables=variables,
+                         dtype=jnp.bfloat16)
+    y = s.predict(x)
+    assert y.shape == (1, 4, 64, 64, 12) and np.isfinite(y).all()
+
+    mb = MicroBatcher(s, window_ms=50.0)
+    try:
+        outs = [None] * 3
+        threads = [
+            threading.Thread(target=lambda i=i: outs.__setitem__(
+                i, mb.submit(x[0], timeout=120.0)))
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for o in outs:
+            np.testing.assert_allclose(o, y[0], atol=1e-2)
+    finally:
+        mb.close()
