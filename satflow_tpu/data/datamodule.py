@@ -85,7 +85,10 @@ class Prefetcher:
                             break
                         cv.wait()
                 try:
-                    item = self.dataset[i]
+                    # device_put here, in the reader thread: the host->HBM
+                    # transfer overlaps the train step instead of sitting on
+                    # the consumer's critical path between steps
+                    item = self._convert(self.dataset[i])
                 except BaseException as e:  # noqa: BLE001 - delivered to consumer
                     item = _WorkerError(e)
                 with cv:
@@ -107,7 +110,7 @@ class Prefetcher:
                     cv.notify_all()
                 if isinstance(item, _WorkerError):
                     raise item.error
-                yield self._convert(item)
+                yield item
         finally:
             with cv:
                 state["stop"] = True
@@ -137,7 +140,7 @@ class Prefetcher:
         def pump():
             try:
                 for item in self.dataset:
-                    if not put(item):
+                    if not put(self._convert(item)):
                         return
             except BaseException as e:  # noqa: BLE001 - delivered to consumer
                 put(_WorkerError(e))
@@ -153,7 +156,7 @@ class Prefetcher:
                     return
                 if isinstance(item, _WorkerError):
                     raise item.error
-                yield self._convert(item)
+                yield item
         finally:
             stop.set()
 
