@@ -60,11 +60,12 @@ class Prefetcher:
                     yield self._convert(item)
             return
         if indexable:
-            yield from self._iter_indexed()
+            yield from self._pipelined(self._iter_indexed())
         else:
             yield from self._iter_streaming()
 
     def _iter_indexed(self) -> Iterator:
+        # yields RAW (host) items; __iter__ wraps this in _pipelined
         n = len(self.dataset)
         window = max(self.prefetch, self.num_workers)
         cv = threading.Condition()
@@ -85,10 +86,7 @@ class Prefetcher:
                             break
                         cv.wait()
                 try:
-                    # device_put here, in the reader thread: the host->HBM
-                    # transfer overlaps the train step instead of sitting on
-                    # the consumer's critical path between steps
-                    item = self._convert(self.dataset[i])
+                    item = self.dataset[i]
                 except BaseException as e:  # noqa: BLE001 - delivered to consumer
                     item = _WorkerError(e)
                 with cv:
@@ -116,6 +114,38 @@ class Prefetcher:
                 state["stop"] = True
                 cv.notify_all()
 
+    def _pipelined(self, raw):
+        """Convert ONE batch ahead of the consumer.
+
+        jax.device_put's host-side staging copy overlaps the in-flight train
+        step while device residency stays at <= 2 batches — converting in the
+        reader threads instead would make the whole readahead window
+        (max(prefetch, num_workers) batches) HBM-resident, an OOM at
+        production geometries where a sharded batch is ~0.5 GB.
+
+        A failure while pulling ahead is DEFERRED until the already-converted
+        batch has been delivered (readers' errors must not swallow the good
+        batch before them)."""
+        prev = None
+        err = None
+        it = iter(raw)
+        while True:
+            try:
+                item = next(it)
+            except StopIteration:
+                break
+            except BaseException as e:  # noqa: BLE001 - re-raised after drain
+                err = e
+                break
+            cur = self._convert(item)
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+        if err is not None:
+            raise err
+
     def _iter_streaming(self) -> Iterator:
         """Single pump thread draining an iterable dataset into a bounded queue.
 
@@ -124,7 +154,8 @@ class Prefetcher:
         the thread and the native loader's ring buffer instead of leaking
         them blocked on a full queue.
         """
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        depth = min(self.prefetch, 2) if self.device_put is not None else self.prefetch
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
         _END = object()
         stop = threading.Event()
 

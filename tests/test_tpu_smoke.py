@@ -170,15 +170,20 @@ def test_tpu_inference_session():
     mb = MicroBatcher(s, window_ms=50.0)
     try:
         outs = [None] * 3
-        threads = [
-            threading.Thread(target=lambda i=i: outs.__setitem__(
-                i, mb.submit(x[0], timeout=120.0)))
-            for i in range(3)
-        ]
+        errs = []
+
+        def call(i):
+            try:
+                outs[i] = mb.submit(x[0], timeout=120.0)
+            except BaseException as e:  # noqa: BLE001 - reported by the test
+                errs.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        assert not errs, f"serving submits failed: {errs}"
         for o in outs:
             np.testing.assert_allclose(o, y[0], atol=1e-2)
     finally:
