@@ -19,7 +19,16 @@ import sys
 
 
 def convert(src: str, dst: str, limit: int | None = None,
-            start: int = 0, temp_path: str = ".", verbose: bool = True) -> int:
+            start: int = 0, temp_path: str = ".", verbose: bool = True,
+            reindex: bool = False) -> int:
+    """Convert ``src`` batches [start, start+limit) into .sfb files in ``dst``.
+
+    By default destination files KEEP their source indices (batch_{start}.sfb
+    onward): --start/--limit exist for sharded conversion where several
+    invocations fill one dst dir and their union must be contiguous from 0
+    (SfbBatchStore counts files, so a partial range with a hole would report
+    len=N yet fail read()). Pass ``reindex=True`` to write a standalone
+    subset renumbered from batch_0.sfb instead."""
     from satflow_tpu.data.datasets import SfbBatchStore, open_batch_store
 
     store = open_batch_store(src, temp_path=temp_path)
@@ -39,9 +48,10 @@ def convert(src: str, dst: str, limit: int | None = None,
     if start >= end:
         raise ValueError(f"start={start} is at/past the end ({end})")
     for i in range(start, end):
-        out.write(i, store.read(i))
+        j = i - start if reindex else i
+        out.write(j, store.read(i))
         if verbose and (i - start) % 50 == 0:
-            print(f"[{i + 1}/{end}] batch_{i}.sfb", file=sys.stderr)
+            print(f"[{i + 1}/{end}] batch_{j}.sfb", file=sys.stderr)
     return end - start
 
 
@@ -50,11 +60,15 @@ def main(argv=None) -> None:
     p.add_argument("src", help="source store: dir or remote URL of batch files")
     p.add_argument("dst", help="destination directory for batch_{i}.sfb")
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--start", type=int, default=0,
+                   help="first source index; dst files keep source indices "
+                        "(for sharded conversion into one dir) unless --reindex")
+    p.add_argument("--reindex", action="store_true",
+                   help="renumber the converted subset from batch_0.sfb")
     p.add_argument("--temp-path", default=".",
                    help="download cache for remote sources")
     a = p.parse_args(argv)
-    n = convert(a.src, a.dst, a.limit, a.start, a.temp_path)
+    n = convert(a.src, a.dst, a.limit, a.start, a.temp_path, reindex=a.reindex)
     print(f"converted {n} batches -> {a.dst}")
 
 

@@ -62,7 +62,7 @@ class Prefetcher:
         if indexable:
             yield from self._pipelined(self._iter_indexed())
         else:
-            yield from self._iter_streaming()
+            yield from self._pipelined(self._iter_streaming())
 
     def _iter_indexed(self) -> Iterator:
         # yields RAW (host) items; __iter__ wraps this in _pipelined
@@ -149,13 +149,18 @@ class Prefetcher:
     def _iter_streaming(self) -> Iterator:
         """Single pump thread draining an iterable dataset into a bounded queue.
 
+        Yields RAW (host) items; ``__iter__`` wraps this in ``_pipelined`` so
+        device_put happens on the consumer side one batch ahead — the queue
+        stays host-side and device residency is bounded at <= 2 batches no
+        matter the queue depth (converting in the pump would let
+        queue + pump-in-hand + consumer batches all be HBM-resident).
+
         The pump checks a stop event between bounded put attempts, so a
         consumer that stops early (fast_dev_run, limit_train_batches) releases
         the thread and the native loader's ring buffer instead of leaking
         them blocked on a full queue.
         """
-        depth = min(self.prefetch, 2) if self.device_put is not None else self.prefetch
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
         stop = threading.Event()
 
@@ -171,7 +176,7 @@ class Prefetcher:
         def pump():
             try:
                 for item in self.dataset:
-                    if not put(self._convert(item)):
+                    if not put(item):
                         return
             except BaseException as e:  # noqa: BLE001 - delivered to consumer
                 put(_WorkerError(e))

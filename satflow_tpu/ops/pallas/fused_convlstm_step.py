@@ -317,7 +317,7 @@ def _pick_block_h(height: int, width: int, cx: int, ch: int,
         return _normalize_block_h(height, requested)
     budget = 2048 * 384 * 2  # bytes: the proven bf16 bh=8 production config
     k = 3 * (cx + ch)
-    bh = max(8, min(32, budget // max(width * k * itemsize, 1)))
+    bh = max(1, min(32, budget // max(width * k * itemsize, 1)))
     bh = 1 << (bh.bit_length() - 1)  # power of two for clean halving
     return _normalize_block_h(height, bh)
 

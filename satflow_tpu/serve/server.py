@@ -113,6 +113,8 @@ def _make_handler(server: NowcastServer):
                 self._send(404, b"not found", "text/plain")
                 return
             try:
+                # parse phase: OSError/EOFError here come from the client's
+                # body bytes and ARE client faults (400)
                 n = int(self.headers.get("Content-Length", "0"))
                 if not 0 < n <= _MAX_BODY:
                     self.close_connection = True  # body left unread
@@ -123,17 +125,24 @@ def _make_handler(server: NowcastServer):
                     raise ValueError(
                         f"expected (T,H,W,C) or (b,T,H,W,C), got {x.shape}"
                     )
+            except Exception as e:  # noqa: BLE001 - reported to the client
+                body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                self._send(400, body, "application/json")
+                return
+            try:
                 y = server.batcher.submit(x, timeout=120.0)
                 buf = io.BytesIO()
                 np.save(buf, np.ascontiguousarray(y))
                 self._send(200, buf.getvalue(), "application/octet-stream")
             except Exception as e:  # noqa: BLE001 - reported to the client
-                # 4xx only for client-side faults; overload/timeouts are 503
-                # and anything else is 500, so retry policies and LB health
-                # checks see server faults as server faults
+                # serve phase: overload/timeouts are 503; a ValueError is the
+                # model rejecting the request (shape/range mismatch, 400);
+                # anything else — including a server-side OSError — is a
+                # server fault (500), so retry policies and LB health checks
+                # see server faults as server faults
                 if isinstance(e, TimeoutError):
                     code = 503
-                elif isinstance(e, (ValueError, OSError, EOFError)):
+                elif isinstance(e, ValueError):
                     code = 400
                 else:
                     code = 500

@@ -182,6 +182,16 @@ class InferenceSession:
         x = np.asarray(x)
         if x.ndim == 4:  # single sample convenience
             return self.predict(x[None])[0]
+        if getattr(self, "_qparams", None) is not None and x.size:
+            # the int8 activation scale is fixed for [-1, 1] inputs;
+            # quantize_activations would silently clip anything outside
+            # (e.g. standardized radiances spanning +/-3), so reject instead
+            amax = float(np.max(np.abs(x)))
+            if amax > 1.0 + 1e-3:
+                raise ValueError(
+                    f"quantize='int8' expects inputs in [-1, 1]; got "
+                    f"|x|max={amax:.3g} — normalize inputs or use the bf16 path"
+                )
         b = x.shape[0]
         if b > self.max_batch:
             outs = [
