@@ -303,6 +303,107 @@ def perceiver_core_rules(core) -> Dict[str, tuple]:
     return rules
 
 
+# -----------------------------------------------------------------------------
+# HF transformers PerceiverForOpticalFlow (deepmind/optical-flow-perceiver)
+# -----------------------------------------------------------------------------
+
+
+def _hf_attn_rules(tp: str, fp: str, heads: int) -> Dict[str, tuple]:
+    """HF PerceiverLayer attention+mlp -> one in-repo attention block.
+
+    HF naming (transformers modeling_perceiver.py): ``{tp}.attention.self.
+    {query,key,value}`` carry biases (unlike lucidrains), ``attention.output.
+    dense`` is the out-projection, ``layernorm``+``mlp.dense{1,2}`` the
+    post-attention MLP."""
+
+    def _qkv_bias(b, h=heads):
+        return _np(b).reshape(h, -1)
+
+    return {
+        f"{tp}.attention.self.query.weight": (
+            f"{fp}/attn/to_q/kernel", lambda w, h=heads: qkv_kernel(w, h)),
+        f"{tp}.attention.self.query.bias": (f"{fp}/attn/to_q/bias", _qkv_bias),
+        f"{tp}.attention.self.key.weight": (
+            f"{fp}/attn/to_k/kernel", lambda w, h=heads: qkv_kernel(w, h)),
+        f"{tp}.attention.self.key.bias": (f"{fp}/attn/to_k/bias", _qkv_bias),
+        f"{tp}.attention.self.value.weight": (
+            f"{fp}/attn/to_v/kernel", lambda w, h=heads: qkv_kernel(w, h)),
+        f"{tp}.attention.self.value.bias": (f"{fp}/attn/to_v/bias", _qkv_bias),
+        f"{tp}.attention.output.dense.weight": (
+            f"{fp}/attn/to_out/kernel", lambda w, h=heads: attn_out_kernel(w, h)),
+        f"{tp}.attention.output.dense.bias": (f"{fp}/attn/to_out/bias", _np),
+        **_ln_rules(f"{tp}.layernorm", f"{fp}/ln_ff"),
+        **_ff_hf_rules(f"{tp}.mlp", f"{fp}/ff"),
+    }
+
+
+def _ff_hf_rules(tp: str, fp: str) -> Dict[str, tuple]:
+    return {
+        f"{tp}.dense1.weight": (f"{fp}/in/kernel", linear_kernel),
+        f"{tp}.dense1.bias": (f"{fp}/in/bias", _np),
+        f"{tp}.dense2.weight": (f"{fp}/out/kernel", linear_kernel),
+        f"{tp}.dense2.bias": (f"{fp}/out/bias", _np),
+    }
+
+
+def hf_flow_rules(core, flax_prefix: str = "") -> Dict[str, tuple]:
+    """Conversion rules: HF ``PerceiverForOpticalFlow`` state_dict (with the
+    leading ``perceiver.`` stripped) -> :class:`MultiPerceiverIO` params at
+    ``flax_prefix`` (e.g. ``"core/steps/core"``).
+
+    Covers the full transformer: latent embeddings, encoder cross-attention,
+    all self-attends, decoder cross-attention, and ``final_layer`` ->
+    ``to_logits``. The HF image preprocessor (conv_after_patches) and the
+    in-repo modality projections are architecturally different (project-then-
+    concat vs concat-then-project) and are left to fine-tuning."""
+    P = f"{flax_prefix}/" if flax_prefix else ""
+    rules: Dict[str, tuple] = {"embeddings.latents": (f"{P}latents", _np)}
+    enc = "encoder.cross_attention"
+    rules.update(_ln_rules(f"{enc}.attention.self.layernorm1", f"{P}encode/ln_q"))
+    rules.update(_ln_rules(f"{enc}.attention.self.layernorm2", f"{P}encode/ln_kv"))
+    rules.update(_hf_attn_rules(enc, f"{P}encode", core.cross_heads))
+    for i in range(core.depth):
+        sa = f"encoder.self_attends.{i}"
+        fb = f"{P}latent" if core.weight_tie_layers else f"{P}latent{i}"
+        rules.update(_ln_rules(f"{sa}.attention.self.layernorm1", f"{fb}/ln"))
+        rules.update(_hf_attn_rules(sa, fb, core.latent_heads))
+        if core.weight_tie_layers:
+            break
+    dec = "decoder.decoder.decoding_cross_attention"
+    rules.update(_ln_rules(f"{dec}.attention.self.layernorm1", f"{P}decode/ln_q"))
+    rules.update(_ln_rules(f"{dec}.attention.self.layernorm2", f"{P}decode/ln_kv"))
+    rules.update(_hf_attn_rules(dec, f"{P}decode", core.cross_heads))
+    rules["decoder.decoder.final_layer.weight"] = (
+        f"{P}to_logits/kernel", linear_kernel)
+    rules["decoder.decoder.final_layer.bias"] = (f"{P}to_logits/bias", _np)
+    return rules
+
+
+def strip_hf_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop the top-level ``perceiver.`` module prefix HF models carry."""
+    return {
+        (k[len("perceiver."):] if k.startswith("perceiver.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def load_hf_optical_flow(
+    params: Dict[str, Any],
+    core,
+    state_dict: Dict[str, Any],
+    flax_prefix: str = "",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Convert an HF PerceiverForOpticalFlow state_dict onto model ``params``
+    whose MultiPerceiverIO core sits at ``flax_prefix``. ``strict=True``
+    requires every transformer-core key to be present (preprocessor keys in
+    ``state_dict`` are simply not consumed)."""
+    state_dict = strip_hf_prefix(state_dict)
+    return load_torch_state_dict(
+        params, state_dict, hf_flow_rules(core, flax_prefix), strict=strict
+    )
+
+
 def load_torch_perceiver(
     core_params: Dict[str, Any],
     core,

@@ -167,20 +167,33 @@ class BaseModel:
         """
         import inspect
 
-        sig = inspect.signature(type(self).__init__)
         attr_aliases = {"out_channels": "output_channels", "loss": "loss_name",
                         "lr": "lr", "gen_lr": "gen_lr"}
         hp: Dict[str, Any] = {"class": type(self).__name__}
-        for name, p in sig.parameters.items():
-            if name in ("self", "dtype", "encoder_kwargs", "decoder_kwargs"):
+        # Walk the MRO below BaseModel so parameters a subclass forwards
+        # through **kwargs (e.g. HuggingFacePerceiver -> Perceiver geometry)
+        # are captured too; the most-derived signature wins on collisions.
+        # BaseModel itself is excluded: its generic names (out_channels, ...)
+        # are re-declared by every concrete signature that accepts them.
+        seen = set()
+        for klass in type(self).__mro__:
+            if klass is BaseModel:
+                break
+            if "__init__" not in vars(klass):
                 continue
-            attr = attr_aliases.get(name, name)
-            if hasattr(self, attr):
-                value = getattr(self, attr)
-                if callable(value) and not isinstance(value, str):
+            for name, p in inspect.signature(klass.__init__).parameters.items():
+                if name in seen or p.kind in (p.VAR_KEYWORD, p.VAR_POSITIONAL):
                     continue
-                if _jsonable(value):
-                    hp[name] = value
+                seen.add(name)
+                if name in ("self", "dtype", "encoder_kwargs", "decoder_kwargs"):
+                    continue
+                attr = attr_aliases.get(name, name)
+                if hasattr(self, attr):
+                    value = getattr(self, attr)
+                    if callable(value) and not isinstance(value, str):
+                        continue
+                    if _jsonable(value):
+                        hp[name] = value
         return hp
 
 

@@ -73,6 +73,10 @@ class PerceiverSatFlowCore(nn.Module):
     latent_dim_heads: int = 64
     weight_tie_layers: bool = False
     decoder_ff: bool = True
+    qkv_bias: bool = False
+    cross_ff_mult: int = 2
+    latent_ff_mult: int = 2
+    decoder_query_residual: bool = True
     max_frequency: float = 4.0
     sin_only: bool = False
     predict_timesteps_together: bool = False
@@ -98,6 +102,10 @@ class PerceiverSatFlowCore(nn.Module):
             latent_dim_head=self.latent_dim_heads,
             weight_tie_layers=self.weight_tie_layers,
             decoder_ff=self.decoder_ff,
+            qkv_bias=self.qkv_bias,
+            cross_ff_mult=self.cross_ff_mult,
+            latent_ff_mult=self.latent_ff_mult,
+            decoder_query_residual=self.decoder_query_residual,
             dtype=self.dtype,
         )
 
@@ -229,6 +237,10 @@ class Perceiver(BaseModel):
         num_freq_bands: Optional[int] = None,
         warmup_steps: int = 1000,
         total_steps: int = 100_000,
+        qkv_bias: bool = False,
+        cross_ff_mult: int = 2,
+        latent_ff_mult: int = 2,
+        decoder_query_residual: bool = True,
         dtype: Any = None,
     ):
         self.sat_channels = sat_channels
@@ -263,6 +275,10 @@ class Perceiver(BaseModel):
         self.num_freq_bands = num_freq_bands if num_freq_bands is not None else input_size
         self.warmup_steps = warmup_steps
         self.total_steps = total_steps
+        self.qkv_bias = qkv_bias
+        self.cross_ff_mult = cross_ff_mult
+        self.latent_ff_mult = latent_ff_mult
+        self.decoder_query_residual = decoder_query_residual
         self.dtype = dtype
         super().__init__(
             forecast_steps=forecast_steps,
@@ -329,6 +345,10 @@ class Perceiver(BaseModel):
             latent_dim_heads=self.latent_dim_heads,
             weight_tie_layers=self.weight_tie_layers,
             decoder_ff=self.decoder_ff,
+            qkv_bias=self.qkv_bias,
+            cross_ff_mult=self.cross_ff_mult,
+            latent_ff_mult=self.latent_ff_mult,
+            decoder_query_residual=self.decoder_query_residual,
             max_frequency=self.max_frequency,
             sin_only=self.sin_only,
             predict_timesteps_together=self.predict_timesteps_together,

@@ -97,22 +97,31 @@ class InputModality:
 
 
 class MHAttention(nn.Module):
-    """Multi-head attention: queries (B,M,Dq) attend over context (B,N,Dc)."""
+    """Multi-head attention: queries (B,M,Dq) attend over context (B,N,Dc).
+
+    ``qkv_bias`` enables biases on the q/k/v projections — perceiver-pytorch
+    omits them (the default) while HF transformers' Perceiver carries them
+    (needed for lossless ``deepmind/optical-flow-perceiver`` weight import).
+    """
 
     heads: int = 8
     dim_head: int = 64
     out_features: Optional[int] = None
+    qkv_bias: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, q_in: jax.Array, kv_in: jax.Array) -> jax.Array:
         out_dim = self.out_features or q_in.shape[-1]
         inner = self.heads * self.dim_head
-        q = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+        q = nn.DenseGeneral((self.heads, self.dim_head), axis=-1,
+                            use_bias=self.qkv_bias,
                             dtype=self.dtype, name="to_q")(q_in)
-        k = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+        k = nn.DenseGeneral((self.heads, self.dim_head), axis=-1,
+                            use_bias=self.qkv_bias,
                             dtype=self.dtype, name="to_k")(kv_in)
-        v = nn.DenseGeneral((self.heads, self.dim_head), axis=-1, use_bias=False,
+        v = nn.DenseGeneral((self.heads, self.dim_head), axis=-1,
+                            use_bias=self.qkv_bias,
                             dtype=self.dtype, name="to_v")(kv_in)
         scale = self.dim_head**-0.5
         logits = jnp.einsum("bmhd,bnhd->bhmn", q * scale, k)
@@ -138,17 +147,22 @@ class CrossAttentionBlock(nn.Module):
     heads: int = 1
     dim_head: int = 64
     ff: bool = True
+    ff_mult: int = 2
+    qkv_bias: bool = False
+    query_residual: bool = True  # HF's flow decoder sets use_query_residual=False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, latents: jax.Array, context: jax.Array) -> jax.Array:
-        h = MHAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(
+        h = MHAttention(self.heads, self.dim_head, qkv_bias=self.qkv_bias,
+                        dtype=self.dtype, name="attn")(
             nn.LayerNorm(dtype=self.dtype, name="ln_q")(latents),
             nn.LayerNorm(dtype=self.dtype, name="ln_kv")(context),
         )
-        latents = latents + h
+        latents = latents + h if self.query_residual else h
         if self.ff:
-            latents = latents + _FeedForward(dtype=self.dtype, name="ff")(
+            latents = latents + _FeedForward(self.ff_mult, dtype=self.dtype,
+                                             name="ff")(
                 nn.LayerNorm(dtype=self.dtype, name="ln_ff")(latents)
             )
         return latents
@@ -157,14 +171,16 @@ class CrossAttentionBlock(nn.Module):
 class SelfAttentionBlock(nn.Module):
     heads: int = 8
     dim_head: int = 64
+    ff_mult: int = 2
+    qkv_bias: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
-        x = x + MHAttention(self.heads, self.dim_head, dtype=self.dtype,
-                            name="attn")(h, h)
-        x = x + _FeedForward(dtype=self.dtype, name="ff")(
+        x = x + MHAttention(self.heads, self.dim_head, qkv_bias=self.qkv_bias,
+                            dtype=self.dtype, name="attn")(h, h)
+        x = x + _FeedForward(self.ff_mult, dtype=self.dtype, name="ff")(
             nn.LayerNorm(dtype=self.dtype, name="ln_ff")(x)
         )
         return x
@@ -199,6 +215,10 @@ class MultiPerceiverIO(nn.Module):
     latent_dim_head: int = 64
     weight_tie_layers: bool = False
     decoder_ff: bool = True
+    qkv_bias: bool = False
+    cross_ff_mult: int = 2
+    latent_ff_mult: int = 2
+    decoder_query_residual: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -237,25 +257,31 @@ class MultiPerceiverIO(nn.Module):
         )
         z = jnp.broadcast_to(latents[None], (b, *latents.shape)).astype(context.dtype)
         z = CrossAttentionBlock(
-            self.cross_heads, self.cross_dim_head, dtype=self.dtype, name="encode"
+            self.cross_heads, self.cross_dim_head, ff_mult=self.cross_ff_mult,
+            qkv_bias=self.qkv_bias, dtype=self.dtype, name="encode"
         )(z, context)
 
         if self.weight_tie_layers:
             block = SelfAttentionBlock(
-                self.latent_heads, self.latent_dim_head, dtype=self.dtype, name="latent"
+                self.latent_heads, self.latent_dim_head,
+                ff_mult=self.latent_ff_mult, qkv_bias=self.qkv_bias,
+                dtype=self.dtype, name="latent"
             )
             for _ in range(self.depth):
                 z = block(z)
         else:
             for i in range(self.depth):
                 z = SelfAttentionBlock(
-                    self.latent_heads, self.latent_dim_head, dtype=self.dtype,
-                    name=f"latent{i}",
+                    self.latent_heads, self.latent_dim_head,
+                    ff_mult=self.latent_ff_mult, qkv_bias=self.qkv_bias,
+                    dtype=self.dtype, name=f"latent{i}",
                 )(z)
 
         q = nn.Dense(self.queries_dim, dtype=self.dtype, name="query_proj")(queries)
         out = CrossAttentionBlock(
             self.cross_heads, self.cross_dim_head, ff=self.decoder_ff,
+            ff_mult=self.cross_ff_mult, qkv_bias=self.qkv_bias,
+            query_residual=self.decoder_query_residual,
             dtype=self.dtype, name="decode",
         )(q, z)
         return nn.Dense(self.logits_dim, dtype=self.dtype, name="to_logits")(out)

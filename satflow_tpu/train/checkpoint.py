@@ -167,6 +167,10 @@ def _ctor_kwargs(cls_name: str, hparams: Dict[str, Any]) -> Dict[str, Any]:
     mapped = dict(hparams)
     if "output_channels" in mapped and "out_channels" in names:
         mapped["out_channels"] = mapped.pop("output_channels")
+    if any(p.kind is p.VAR_KEYWORD for p in sig.parameters.values()):
+        # ctor forwards **kwargs (HuggingFacePerceiver -> Perceiver); hparams
+        # holds exactly the keys the chain accepts, so pass them all through
+        return mapped
     return {k: v for k, v in mapped.items() if k in names}
 
 

@@ -382,3 +382,77 @@ def test_create_model_hf_hub_prefix_satflow_checkpoint(tmp_path, monkeypatch):
     y = np.asarray(loaded.forward(loaded.restored_variables,
                                   jnp.asarray(x["sat_data"])))
     assert y.shape[1] == 2 and np.isfinite(y).all()
+
+
+def test_hf_optical_flow_pretrained_mapping(monkeypatch):
+    """HuggingFacePerceiver(pretrained=True) maps a real HF-schema
+    PerceiverForOpticalFlow state_dict onto the JAX core OFFLINE (tiny config,
+    from_pretrained monkeypatched) — reference perceiverio.py:46-91's intended
+    capability, which its own code never delivered (SURVEY §2.8 defect 7)."""
+    import transformers
+    from transformers import PerceiverConfig, PerceiverForOpticalFlow
+
+    from satflow_tpu.data import consts
+    from satflow_tpu.models.hf_perceiver import HuggingFacePerceiver
+
+    cfg = PerceiverConfig(
+        num_latents=16, d_latents=32, d_model=64, num_blocks=1,
+        num_self_attends_per_block=2, num_self_attention_heads=2,
+        num_cross_attention_heads=1, qk_channels=32, v_channels=32,
+        train_size=[8, 8], hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = PerceiverForOpticalFlow(cfg).eval()
+    captured = {}
+
+    def fake_from_pretrained(name, **kw):
+        captured["name"] = name
+        return hf
+
+    monkeypatch.setattr(transformers.PerceiverForOpticalFlow,
+                        "from_pretrained", fake_from_pretrained)
+    model = HuggingFacePerceiver(
+        pretrained=True, train_size=8, forecast_steps=2,
+        input_channels=3, sat_channels=3, num_freq_bands=4,
+    )
+    assert captured["name"] == "deepmind/optical-flow-perceiver"
+    # geometry derived from the checkpoint: 322-dim tokens (d_model 64 +
+    # 258 fourier), 16x32 latents, depth 2
+    assert model.dim == 322 and model.queries_dim == 322
+    assert model.num_latents == 16 and model.latent_dim == 32
+    assert model.depth == 2 and model.qkv_bias and not model.decoder_query_residual
+    assert model.flow_channels == 2
+
+    params = model.restored_variables["params"]
+    core = params["core"]["steps"]["core"]
+    sd = hf.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(core["latents"]),
+        sd["perceiver.embeddings.latents"].numpy(), atol=1e-6)
+    # one attention projection, layout-transposed: torch (qk, d) -> (d, h, dh)
+    w = sd["perceiver.encoder.self_attends.1.attention.self.query.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(core["latent1"]["attn"]["to_q"]["kernel"]),
+        w.T.reshape(32, 2, 16), atol=1e-6)
+    b = sd["perceiver.encoder.self_attends.1.attention.self.query.bias"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(core["latent1"]["attn"]["to_q"]["bias"]),
+        b.reshape(2, 16), atol=1e-6)
+    # decoder head -> to_logits
+    np.testing.assert_allclose(
+        np.asarray(core["to_logits"]["kernel"]),
+        sd["perceiver.decoder.decoder.final_layer.weight"].numpy().T, atol=1e-6)
+
+    x = np.random.default_rng(0).standard_normal((1, 6, 8, 8, 3)).astype(np.float32)
+    inputs, _ = model.prepare_batch(({consts.SATELLITE_DATA: x}, x))
+    y = np.asarray(model.module.apply(model.restored_variables, inputs))
+    assert y.shape == (1, 2, 8, 8, 3) and np.isfinite(y).all()
+
+    # hparams round-trip rebuilds the derived geometry without the hub
+    from satflow_tpu.train.checkpoint import _ctor_kwargs
+
+    hp = model.hparams()
+    assert hp["pretrained"] is False and hp["depth"] == 2 and hp["dim"] == 322
+    rebuilt = HuggingFacePerceiver(**_ctor_kwargs(hp.pop("class"), hp))
+    assert rebuilt.dim == 322 and rebuilt.num_latents == 16
+    assert rebuilt.qkv_bias and not rebuilt.decoder_query_residual
