@@ -51,26 +51,88 @@ class NpzBatchStore:
 
 
 class NetCDFBatchStore:
-    """Reads the reference's ``batch_{i}.nc`` dumps (requires xarray+netCDF4)."""
+    """Reads/writes the reference's ``batch_{i}.nc`` dumps without xarray.
+
+    The reference's wire format (reference satflow/data/datasets.py:4-16,
+    nowcasting_dataset's ``batch_to_dataset().to_netcdf()``) is NetCDF —
+    either NetCDF4 (an HDF5 container, decoded here via h5py) or classic
+    NetCDF3 (decoded/written via scipy.io.netcdf_file). The format is sniffed
+    from the file magic (``\\x89HDF`` vs ``CDF\\x01``/``CDF\\x02``), and
+    dimension-coordinate variables are dropped so only data variables reach
+    the training batch (xarray ``ds.data_vars`` semantics)."""
 
     pattern = "batch_{idx}.nc"
 
     def __init__(self, path: str):
-        try:
-            import xarray  # noqa: F401
-        except ImportError as e:  # pragma: no cover - gated dependency
-            raise ImportError(
-                "NetCDFBatchStore requires xarray/netCDF4; use NpzBatchStore "
-                "(batch_{i}.npz) on hosts without the NetCDF stack"
-            ) from e
         self.path = path
 
-    def read(self, idx: int) -> Dict[str, np.ndarray]:  # pragma: no cover
-        import xarray as xr
+    def __len__(self) -> int:
+        return len([f for f in os.listdir(self.path) if f.endswith(".nc")])
 
+    def read(self, idx: int) -> Dict[str, np.ndarray]:
         fname = os.path.join(self.path, self.pattern.format(idx=idx))
-        with xr.open_dataset(fname) as ds:
-            return {k: ds[k].values for k in ds.data_vars}
+        with open(fname, "rb") as f:
+            magic = f.read(4)
+        if magic.startswith(b"\x89HDF"):
+            return self._read_hdf5(fname)
+        if magic.startswith(b"CDF"):
+            return self._read_netcdf3(fname)
+        raise ValueError(f"{fname}: not a NetCDF file (magic {magic!r})")
+
+    @staticmethod
+    def _read_hdf5(fname: str) -> Dict[str, np.ndarray]:
+        import h5py
+
+        out: Dict[str, np.ndarray] = {}
+
+        def visit(name, node):
+            if not isinstance(node, h5py.Dataset):
+                return
+            # netCDF4 marks pure dimension coordinates as HDF5 dimension
+            # scales (CLASS=DIMENSION_SCALE); batch data variables are plain
+            # datasets (with DIMENSION_LIST attrs pointing at the scales)
+            if node.attrs.get("CLASS") in (b"DIMENSION_SCALE", "DIMENSION_SCALE"):
+                return
+            out[name.split("/")[-1]] = np.asarray(node[()])
+
+        with h5py.File(fname, "r") as f:
+            f.visititems(visit)
+        return out
+
+    @staticmethod
+    def _read_netcdf3(fname: str) -> Dict[str, np.ndarray]:
+        from scipy.io import netcdf_file
+
+        def native(arr) -> np.ndarray:
+            # NetCDF3 payloads are big-endian; JAX only takes native order
+            arr = np.asarray(arr)
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            return arr
+
+        with netcdf_file(fname, "r", mmap=False) as ds:
+            return {
+                k: native(v[:])
+                for k, v in ds.variables.items()
+                if k not in ds.dimensions  # drop dimension coordinates
+            }
+
+    def write(self, idx: int, batch: Dict[str, np.ndarray]) -> None:
+        """Write a classic NetCDF3 ``batch_{i}.nc`` (scipy's writable dialect)."""
+        from scipy.io import netcdf_file
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, self.pattern.format(idx=idx))
+        with netcdf_file(fname, "w") as ds:
+            for key, value in batch.items():
+                value = np.asarray(value)
+                dims = []
+                for d, size in enumerate(value.shape):
+                    dim = f"{key}_d{d}"
+                    ds.createDimension(dim, size)
+                    dims.append(dim)
+                var = ds.createVariable(key, value.dtype, tuple(dims))
+                var[:] = value
 
 
 class SfbBatchStore:
