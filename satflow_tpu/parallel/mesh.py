@@ -68,12 +68,38 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a host array onto a sharding that may span multiple processes.
+
+    Multi-host meshes (after ``jax.distributed.initialize``) are not fully
+    addressable from any one process; each process then contributes only its
+    addressable shards of the (identical) host value via
+    ``make_array_from_callback`` — the jax multi-controller idiom.
+    """
+    x = np.asarray(x)
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(
+        # asarray(order="C") copies non-contiguous slices but, unlike
+        # ascontiguousarray, preserves 0-d shapes (scalar opt-state leaves)
+        x.shape, sharding, lambda idx: np.asarray(x[idx], order="C")
+    )
+
+
+def put_replicated(tree, mesh: Optional[Mesh] = None):
+    """Replicate a host pytree over every device of a (possibly multi-host)
+    mesh — the params/opt-state placement of the DP train step."""
+    rep_sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: put_global(x, rep_sh), tree)
+
+
 def shard_batch(batch, mesh: Optional[Mesh] = None):
     """Device-put a host batch pytree with dim-0 sharded over ``data``.
 
     This is the host→HBM boundary of the input pipeline (the reference's
     pin_memory + ``.cuda()`` copy, datamodules.py:87-96). Scalars and
-    rank-0 leaves are replicated.
+    rank-0 leaves are replicated. Works on multi-host meshes: every process
+    passes the same global batch and contributes its local shards.
     """
     mesh = mesh or get_mesh()
     data_sh = batch_sharding(mesh)
@@ -82,7 +108,7 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
-            return jax.device_put(x, rep_sh)
-        return jax.device_put(x, data_sh)
+            return put_global(x, rep_sh)
+        return put_global(x, data_sh)
 
     return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,71 @@
+"""Worker process for the cross-process DP collective test (not collected).
+
+Spawned by tests/test_sharding.py::test_cross_process_dp_collective with
+argv = (process_id, num_processes, coordinator_port, out_path). Each process
+owns 4 virtual CPU devices; together they form an 8-device 2-host mesh over
+which ONE real DP train step executes — the gradient psum crosses the process
+boundary (the reference's 4-process DDP surface,
+reference satflow/configs/trainer/ddp.yaml:1-6).
+"""
+
+import sys
+
+
+def main() -> None:
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    port, out = sys.argv[3], sys.argv[4]
+
+    from satflow_tpu.parallel.distributed import maybe_initialize_distributed
+
+    ok = maybe_initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+    import jax
+
+    assert ok and jax.process_count() == nproc, (ok, jax.process_count())
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    import numpy as np
+
+    import satflow_tpu.models  # noqa: F401 - registry
+    from satflow_tpu.core.registry import create_model
+    from satflow_tpu.data.fake import FakeDataset
+    from satflow_tpu.parallel.mesh import (
+        make_mesh,
+        put_replicated,
+        set_mesh,
+        shard_batch,
+    )
+    from satflow_tpu.train.state import TrainState
+    from satflow_tpu.train.steps import make_train_step
+
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=12, out_channels=12,
+        forecast_steps=2, hidden_dim=4,
+    )
+    ds = FakeDataset(batch_size=8, width=8, height=8, history_minutes=15,
+                     forecast_minutes=10, length=1, seed=3)
+    batch = ds[0]
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    params, mstate = model.split_variables(variables)
+
+    mesh = make_mesh()
+    set_mesh(mesh)
+    assert mesh.devices.size == 8
+
+    state = put_replicated(
+        TrainState.create(params, mstate, model.make_optimizer()), mesh
+    )
+    sharded = tuple(shard_batch(part, mesh) for part in batch)
+    step = make_train_step(model)
+    state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+
+    # replicated outputs are addressable from every process; fetching blocks
+    # both processes until the cross-host psum completes
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    arrays = {f"p{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    if pid == 0:
+        np.savez(out, loss=np.float32(loss), **arrays)
+
+
+if __name__ == "__main__":
+    main()
