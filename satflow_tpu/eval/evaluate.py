@@ -64,7 +64,10 @@ def evaluate_model(
         if max_batches is not None and bi >= max_batches:
             break
         x, y = model.prepare_batch(batch)
-        metrics = jax.device_get(batch_metrics(variables, jnp.asarray(x), jnp.asarray(y)))
+        # x is a plain array for single-modality models, a modality dict for
+        # Perceiver-family models — tree_map covers both
+        x = jax.tree_util.tree_map(jnp.asarray, x)
+        metrics = jax.device_get(batch_metrics(variables, x, jnp.asarray(y)))
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + np.asarray(v)
         count += 1

@@ -472,6 +472,48 @@ class EncoderDecoderConvLSTM(BaseModel):
             y = y[..., : self.output_channels]
         return x, y
 
+    # -- spatial (H-axis) parallelism ---------------------------------------
+
+    def enable_spatial(self, mesh, axis: str = "model") -> None:
+        """Train/infer with the rollout H-sharded over ``mesh[axis]``.
+
+        Routes forward/loss through
+        :func:`satflow_tpu.parallel.spatial.convlstm_spatial_forward`
+        (shard_map + per-step ppermute halo exchange, fused Pallas cells
+        intact per shard) — the scale-out path for geometries whose rollout
+        activations exceed one chip's HBM (full-disk 3712px MSG frames).
+        Wired from ``Trainer(spatial="DxM")`` / ``run.py trainer.spatial=2x4``.
+        """
+        if self.cell_impl != "fused":
+            raise ValueError(
+                "spatial parallelism requires cell_impl='fused' "
+                f"(got {self.cell_impl!r})"
+            )
+        self.spatial_mesh = mesh
+        self.spatial_axis = axis
+
+    def _spatial_forward(self, params, x):
+        from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+        return convlstm_spatial_forward(
+            params, x, self.forecast_steps, self.spatial_mesh,
+            axis=self.spatial_axis, dtype=self.dtype,
+        )
+
+    def forward(self, variables, x, rng=None, train=False):
+        if getattr(self, "spatial_mesh", None) is not None:
+            return self._spatial_forward(variables["params"], x)
+        return super().forward(variables, x, rng=rng, train=train)
+
+    def loss(self, params, state, batch, rng, train=True):
+        if getattr(self, "spatial_mesh", None) is None:
+            return super().loss(params, state, batch, rng, train=train)
+        x, y = self.prepare_batch(batch)
+        y_hat = self._spatial_forward(params, x)
+        loss = self.criterion(y_hat, y)
+        metrics = {"loss": loss, **self.frame_metrics(y_hat, y)}
+        return loss, (metrics, state)
+
     @classmethod
     def from_config(cls, config):
         return cls(

@@ -127,9 +127,19 @@ def farneback_flow(prev: np.ndarray, curr: np.ndarray) -> np.ndarray:
     try:
         import cv2
 
+        a = np.asarray(curr, dtype=np.float32)
+        b = np.asarray(prev, dtype=np.float32)
+        # Farneback's internal thresholds assume 0-255 image intensities;
+        # [0, 1]-normalized frames read as flat and yield all-zero flow
+        # (measured: zero flow at every window size on DecayingAdvection).
+        # Rescale the PAIR to 0-255 — a no-op for 8-bit-range inputs, so the
+        # reference parameter parity (optical_flow.py:51-53) is preserved.
+        lo = min(a.min(), b.min())
+        hi = max(a.max(), b.max())
+        scale = 255.0 / max(hi - lo, 1e-6)
         return cv2.calcOpticalFlowFarneback(
-            np.asarray(curr, dtype=np.float32),
-            np.asarray(prev, dtype=np.float32),
+            (a - lo) * scale,
+            (b - lo) * scale,
             None, 0.5, 3, 15, 3, 5, 1.2, 0,
         )
     except ImportError:

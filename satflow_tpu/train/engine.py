@@ -59,6 +59,7 @@ class Trainer:
         profiler: Optional[str] = None,
         profile_dir: str = "logs/profile",
         zero_sharding: bool = False,
+        spatial: Optional[str] = None,
         handle_preemption: bool = True,
         callbacks: Optional[List] = None,
         logger: Optional[List[BaseLogger]] = None,
@@ -87,6 +88,7 @@ class Trainer:
         self.profiler = profiler
         self.profile_dir = profile_dir
         self.zero_sharding = zero_sharding
+        self.spatial = spatial
         self.handle_preemption = handle_preemption
         self.callbacks = list(callbacks or [])
         self.history = HistoryLogger()
@@ -330,6 +332,27 @@ class Trainer:
     def _build_state(self, model, rng: jax.Array, loader: Iterable) -> None:
         if self.state is not None:
             return
+        if self.spatial:
+            # "DxM": D-way data parallelism x M-way spatial (H-axis) model
+            # parallelism — e.g. trainer.spatial=2x4 on an 8-device mesh.
+            # The model must implement enable_spatial (fused ConvLSTM).
+            from satflow_tpu.parallel.mesh import make_mesh, set_mesh
+
+            try:
+                d_size, m_size = (int(p) for p in str(self.spatial).lower().split("x"))
+            except ValueError as e:
+                raise ValueError(
+                    f"trainer.spatial={self.spatial!r}: expected 'DxM' "
+                    "(data x model axis sizes, e.g. '2x4')"
+                ) from e
+            if not hasattr(model, "enable_spatial"):
+                raise ValueError(
+                    f"{type(model).__name__} does not support spatial "
+                    "parallelism (no enable_spatial)"
+                )
+            mesh = make_mesh([d_size, m_size])
+            set_mesh(mesh)
+            model.enable_spatial(mesh, axis="model")
         # precision: 16/"bf16" → bf16 compute dtype (params stay f32), the TPU
         # analog of the reference's AMP (configs/trainer/half.yaml:36).
         if str(self.precision) in ("16", "bf16", "bfloat16") and getattr(

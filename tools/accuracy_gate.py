@@ -87,6 +87,29 @@ def main():
     }
     print("convlstm mse", results["convlstm"]["mse"])
 
+    # --- Perceiver arm: same full-resolution geometry as ConvLSTM -----------
+    epochs_p = 60
+    perceiver = create_model(
+        "perceiver", input_channels=2, sat_channels=2, base_channels=1,
+        input_size=32, forecast_steps=STEPS, history_steps=4,
+        depth=3, num_latents=64, latent_dim=128, dim=48, queries_dim=48,
+        num_freq_bands=16, predict_timesteps_together=True,
+        lr=2e-3, warmup_steps=100, total_steps=epochs_p * 12,
+    )
+    trainer = Trainer(max_epochs=epochs_p, log_every_n_steps=500, seed=0)
+    trainer.fit(perceiver, make_dm())
+    variables = {"params": trainer.state.params, **trainer.state.model_state}
+    curves = evaluate_model(perceiver, variables, eval_ds, max_batches=3,
+                            compute_ms_ssim=True)
+    results["perceiver"] = {
+        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+        "mse": float(np.mean(curves["mse"])),
+        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
+        "ms_ssim": float(np.mean(curves["ms_ssim"])),
+        "epochs": epochs_p,
+    }
+    print("perceiver mse", results["perceiver"]["mse"])
+
     # --- MetNet arm: MetNet predicts the center 1/4 crop at 1/16 resolution
     # (reference pl_metnet geometry) — apples-to-apples means running the
     # baselines at that SAME target geometry (64px data -> 4x4 targets, where
@@ -156,7 +179,8 @@ def main():
     print(json.dumps({k: v.get("mse") for k, v in results.items()}))
 
 
-_FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm")
+_FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm",
+             "perceiver")
 _METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
 
 
@@ -194,7 +218,7 @@ def _write_md(r):
         "`python tools/accuracy_gate.py`; gate enforced by",
         "`tests/test_accuracy.py`.",
         "",
-        "## ConvLSTM — full resolution (32px, 12 lead times)",
+        "## ConvLSTM & Perceiver — full resolution (32px, 12 lead times)",
         "",
         *_table(r, _FULL_RES, steps),
         "",
