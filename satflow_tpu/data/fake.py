@@ -159,3 +159,47 @@ class DecayingAdvectionDataset(AdvectionDataset):
         x[consts.SATELLITE_DATA] = past * t_past[None, :, None, None, None]
         y[consts.SATELLITE_DATA] = future * t_future[None, :, None, None, None]
         return x, y
+
+
+class StochasticAdvectionDataset(DecayingAdvectionDataset):
+    """Decaying advection whose FUTURE velocity is ambiguous given the past.
+
+    At the history/forecast boundary the velocity is redrawn per sequence
+    from ``velocity + delta`` with delta uniform over
+    ``future_velocity_deltas`` — the past frames cannot reveal the draw, so
+    the predictive distribution is genuinely multi-modal. This is the
+    generative-family eval dataset: a probabilistic model (DGMR) should show
+    inter-sample variance ~ the mode spread (a collapsed generator shows ~0),
+    while its sample MEAN still beats persistence. On the deterministic
+    datasets zero sample variance is the optimum, so they cannot provide
+    collapse evidence.
+    """
+
+    def __init__(self, *args, future_velocity_deltas=((0, -2), (0, 0), (0, 2)),
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.future_velocity_deltas = tuple(
+            tuple(d) for d in future_velocity_deltas
+        )
+
+    def __getitem__(self, idx: int):
+        x, y = super().__getitem__(idx)
+        past = x[consts.SATELLITE_DATA]
+        future = y[consts.SATELLITE_DATA]
+        rng = np.random.default_rng(self.seed + 7919 * (idx + 1))
+        dy, dx = self.velocity
+        b, f = future.shape[0], future.shape[1]
+        last = past[:, -1]  # (B, H, W, C), already decayed to t = s-1
+        decay_step = self.decay
+        out = np.empty_like(future)
+        for bi in range(b):
+            ddy, ddx = self.future_velocity_deltas[
+                rng.integers(0, len(self.future_velocity_deltas))
+            ]
+            vy, vx = dy + ddy, dx + ddx
+            cur = last[bi]
+            for t in range(f):
+                cur = np.roll(np.roll(cur, vy, axis=0), vx, axis=1) * decay_step
+                out[bi, t] = cur
+        y[consts.SATELLITE_DATA] = out
+        return x, y

@@ -29,7 +29,19 @@ def main():
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--remat-chunk", type=int, default=0)
     p.add_argument("--cell", default="fused")
+    p.add_argument("--from-store", default=None, metavar="DIR",
+                   help="drive the train step from an on-disk .sfb store "
+                        "through Prefetcher + native ingest (VERDICT r2 #8); "
+                        "writes the store first if DIR is empty/missing")
+    p.add_argument("--pipeline-only", action="store_true",
+                   help="with --from-store: measure the host-side store→"
+                        "decode→split→batch rate without touching the device")
+    p.add_argument("--store-batches", type=int, default=12)
+    p.add_argument("--workers", type=int, default=4)
     args = p.parse_args()
+
+    if args.from_store:
+        return bench_from_store(args)
 
     import jax
     import jax.numpy as jnp
@@ -105,6 +117,119 @@ def main():
         "step_ms": round(dt * 1000, 2),
         "compile_s": round(compile_s, 1),
         "loss0": loss0,
+    }))
+
+
+def bench_from_store(args):
+    """Measure the input pipeline feeding the chip (VERDICT r2 #8).
+
+    Two modes:
+    - ``--pipeline-only``: host-side rate of store → native-ingest decode →
+      past/future split → batch dicts (no device involved). This is the
+      number to compare against the chip's compute f/s: the pipeline
+      sustains training iff pipeline f/s >= chip f/s.
+    - default: the FULL loop — the same loader device_puts each batch and the
+      train step consumes it. NOTE: on the dev host the TPU link is a
+      ~13-26 MB/s tunnel, so this number is transfer-bound there (documented
+      in docs/DESIGN.md); on a real TPU host the DMA path is >10 GB/s and
+      the pipeline-only number is the binding one.
+    """
+    import os
+    import time
+
+    import numpy as np
+
+    from satflow_tpu.data.convert import convert
+    from satflow_tpu.data.datamodule import SatFlowDataModule
+    from satflow_tpu.data.datasets import write_fake_store
+
+    seq = args.history + args.steps
+    store = os.path.join(args.from_store, "train")
+    if not os.path.isdir(store) or not any(
+        f.endswith(".sfb") for f in os.listdir(store)
+    ):
+        npz = os.path.join(args.from_store, "_npz")
+        write_fake_store(npz, n_batches=args.store_batches,
+                         batch_size=args.batch, size=args.size,
+                         seq_length=seq, sat_channels=args.channels)
+        convert(npz, store, verbose=False)
+        print(f"# wrote {args.store_batches} sfb batches to {store}")
+
+    dm = SatFlowDataModule(
+        data_path=args.from_store, num_workers=args.workers,
+        prefetch_factor=4, shard=not args.pipeline_only,
+        history_minutes=(args.history - 1) * 5, forecast_minutes=args.steps * 5,
+    )
+
+    if args.pipeline_only:
+        import json as _json
+
+        # one pass to warm caches/threads, then timed passes
+        frames = 0
+        for _ in dm.train_dataloader():
+            pass
+        t0 = time.perf_counter()
+        passes = 3
+        for _ in range(passes):
+            for x, y in dm.train_dataloader():
+                frames += x["sat_data"].shape[0] * args.steps
+        dt = time.perf_counter() - t0
+        mb = frames / args.steps * seq * args.size * args.size * args.channels * 4 / 1e6
+        print(_json.dumps({
+            "metric": f"input pipeline frames/s {args.size}px b{args.batch} "
+                      f"({args.workers} workers, native ingest)",
+            "value": round(frames / dt, 2),
+            "unit": "frames/s",
+            "mb_per_s": round(mb / dt, 1),
+        }))
+        return
+
+    import json as _json
+
+    import jax
+
+    from satflow_tpu.core.registry import create_model
+    from satflow_tpu.core.utils import setup_compilation_cache
+    import satflow_tpu.models  # noqa: F401
+    from satflow_tpu.train.state import TrainState
+    from satflow_tpu.train.steps import make_train_step
+    import jax.numpy as jnp
+
+    setup_compilation_cache()
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=args.channels,
+        out_channels=args.channels, forecast_steps=args.steps,
+        hidden_dim=args.hidden, cell_impl=args.cell, remat=args.remat,
+        remat_chunk=args.remat_chunk, dtype=jnp.bfloat16, lr=1e-3,
+    )
+    rng = jax.random.PRNGKey(0)
+    loader = dm.train_dataloader()
+    first = next(iter(loader))
+    variables = model.init_variables(rng, first)
+    params, model_state = model.split_variables(variables)
+    state = TrainState.create(params, model_state, model.make_optimizer())
+    step = make_train_step(model)
+    state, m = step(state, first, rng)  # compile
+    float(jax.device_get(m["loss"]))
+
+    frames = 0
+    t0 = None
+    for ep in range(3):
+        for i, batch in enumerate(loader if ep == 0 else dm.train_dataloader()):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, batch, sub)
+            if t0 is None:
+                t0 = time.perf_counter()  # start after the first (warm) batch
+            else:
+                frames += args.batch * args.steps
+    float(jax.device_get(m["loss"]))
+    dt = time.perf_counter() - t0
+    print(_json.dumps({
+        "metric": f"store-fed train frames/s {args.size}px b{args.batch} "
+                  f"F{args.steps} ({args.workers} workers)",
+        "value": round(frames / dt, 2),
+        "unit": "frames/s",
+        "note": "tunnel-transfer-bound on the dev host; see DESIGN.md",
     }))
 
 
