@@ -70,11 +70,13 @@ def _step_ref(x, h, c, wx, wh, b):
 
 
 def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False,
-                 padded_out: bool = False):
+                 padded_out: bool = False, emit_gates: bool = False):
     def kernel(
         x_prev, x_cur, x_nxt, h_prev, h_cur, h_nxt, c_ref,
-        w_ref, b_ref, hout_ref, cout_ref, *maybe_scratch,
+        w_ref, b_ref, hout_ref, cout_ref, *rest,
     ):
+        gates_ref = rest[0] if emit_gates else None
+        maybe_scratch = rest[1:] if emit_gates else rest
         # *_prev/cur/nxt: (1, block_h, W+2, C); w: (3, 3Cx+3Ch, 4Ch) — per
         # kernel row, x taps then h taps along the contraction axis
         r = pl.program_id(1)
@@ -126,6 +128,13 @@ def _make_kernel(block_h: int, width: int, scratch_im2col: bool = False,
         acc += b_ref[0].astype(jnp.float32)
 
         c = c_ref[0].astype(jnp.float32).reshape(rows, ch)
+        if emit_gates:
+            # save-gates backward: the pre-activation gates leave the kernel
+            # so the VJP's gate backward is pure elementwise (no gate-conv
+            # recompute) — see _bwd_padded
+            gates_ref[0] = acc.reshape(block_h, width, 4 * ch).astype(
+                gates_ref.dtype
+            )
         i = acc[:, 0 * ch : 1 * ch]
         f = acc[:, 1 * ch : 2 * ch]
         o = acc[:, 2 * ch : 3 * ch]
@@ -397,7 +406,8 @@ def _step_pallas(x, h, c, wx, wh, b, block_h=None):
 # ---------------------------------------------------------------------------
 
 
-def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None):
+def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None,
+                        emit_gates: bool = False):
     bsz, height, wp2, cx = xp.shape
     width = wp2 - 2
     ch = c.shape[-1]
@@ -429,8 +439,18 @@ def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None):
         (1, block_h, width + 2, ch), lambda bi, r: (bi, r, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    h_next, c_next = pl.pallas_call(
-        _make_kernel(block_h, width, padded_out=True),
+    gates_spec = pl.BlockSpec(
+        (1, block_h, width, 4 * ch), lambda bi, r: (bi, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = (hout_spec, c_spec) + ((gates_spec,) if emit_gates else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((bsz, height, width + 2, ch), xp.dtype),
+        jax.ShapeDtypeStruct((bsz, height, width, ch), xp.dtype),
+    ) + ((jax.ShapeDtypeStruct((bsz, height, width, 4 * ch), xp.dtype),)
+         if emit_gates else ())
+    out = pl.pallas_call(
+        _make_kernel(block_h, width, padded_out=True, emit_gates=emit_gates),
         grid=grid,
         in_specs=[
             row_spec(cx, -1), row_spec(cx, 0), row_spec(cx, +1),
@@ -439,17 +459,14 @@ def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None):
             full_spec((3, 3 * cx + 3 * ch, 4 * ch)),
             full_spec((1, 4 * ch)),
         ],
-        out_specs=(hout_spec, c_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, height, width + 2, ch), xp.dtype),
-            jax.ShapeDtypeStruct((bsz, height, width, ch), xp.dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(xp, xp, xp, hp, hp, hp, c, w3, b2)
-    return h_next, c_next
+    return out if emit_gates else (out[0], out[1])
 
 
 def _pad_w(a):
@@ -491,6 +508,32 @@ def fused_convlstm_step_padded(xp, hp, c, wx, wh, b,
 
 
 def _fwd_padded(xp, hp, c, wx, wh, b, use_pallas):
+    import os
+
+    if os.environ.get("SATFLOW_SAVE_GATES", "0") == "1":
+        # save-gates mode: the forward also emits the pre-activation gates so
+        # the backward skips the gate-conv recompute entirely (measured: the
+        # recompute is ~1 forward-kernel per step; see docs/DESIGN.md
+        # training-ceiling table). Costs one (B,H,W,4Ch) bf16 residual per
+        # step — under remat it lives only across the replay/backward pair.
+        use = use_pallas
+        if use is None:
+            use = (
+                pallas_available()
+                and xp.shape[1] % 8 == 0
+                and c.shape[-1] % 8 == 0
+                and wx.shape[:2] == (3, 3)
+            )
+        if use:
+            h2, c2, gates = _step_pallas_padded(
+                xp, hp, c, wx, wh, b, emit_gates=True
+            )
+        else:
+            gates = (_conv3x3_padded(xp, wx) + _conv3x3_padded(hp, wh) + b
+                     ).astype(xp.dtype)
+            h2, c2 = _gates_ref(gates, c.astype(gates.dtype))
+            h2 = _pad_w(h2)
+        return (h2, c2), (xp, hp, c, wx, wh, b, gates)
     out = fused_convlstm_step_padded(xp, hp, c, wx, wh, b, use_pallas)
     return out, (xp, hp, c, wx, wh, b)
 
@@ -511,36 +554,63 @@ def _bwd_padded(use_pallas, residuals, cotangents):
     their VJPs produce/consume (W+2) arrays matching the scan carries. The
     halo-column gradients of dxp/dhp are genuine conv-input gradients; the
     upstream steps drop them (their halo columns are written constants)."""
-    xp, hp, c, wx, wh, b = residuals
-    dh_next_p, dc_next = cotangents
-    use = use_pallas
-    if use is None:
-        use = (
-            pallas_available()
-            and xp.shape[1] % 8 == 0
-            and c.shape[-1] % 8 == 0
-            and wx.shape[:2] == (3, 3)
-        )
     import os
 
-    if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":
-        use = False
-    if use:
-        dgates, dc_prev = _gate_bwd_pallas(
-            xp, hp, c, wx, wh, b, dh_next_p, dc_next, padded=True
+    if len(residuals) == 7:  # save-gates mode (see _fwd_padded)
+        xp, hp, c, wx, wh, b, gates = residuals
+        dh_next_p, dc_next = cotangents
+        dgates, dc_prev = _gate_bwd_math(
+            gates, c, dh_next_p[:, :, 1:-1], dc_next
         )
+        dgates = dgates.astype(xp.dtype)
+        dc_prev = dc_prev.astype(xp.dtype)
     else:
-        dgates, dc_prev = _gate_bwd_ref_padded(
-            xp, hp, c, wx, wh, b, dh_next_p, dc_next
-        )
-    _, vjp_x = jax.vjp(lambda x_: _conv3x3_padded(x_, wx), xp)
-    (dxp,) = vjp_x(dgates)
-    _, vjp_h = jax.vjp(lambda h_: _conv3x3_padded(h_, wh), hp)
-    (dhp,) = vjp_h(dgates)
-    _, vjp_wx = jax.vjp(lambda w_: _conv3x3_padded(xp, w_), wx)
-    (dwx,) = vjp_wx(dgates)
-    _, vjp_wh = jax.vjp(lambda w_: _conv3x3_padded(hp, w_), wh)
-    (dwh,) = vjp_wh(dgates)
+        xp, hp, c, wx, wh, b = residuals
+        dh_next_p, dc_next = cotangents
+        use = use_pallas
+        if use is None:
+            use = (
+                pallas_available()
+                and xp.shape[1] % 8 == 0
+                and c.shape[-1] % 8 == 0
+                and wx.shape[:2] == (3, 3)
+            )
+        if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":
+            use = False
+        if use:
+            dgates, dc_prev = _gate_bwd_pallas(
+                xp, hp, c, wx, wh, b, dh_next_p, dc_next, padded=True
+            )
+        else:
+            dgates, dc_prev = _gate_bwd_ref_padded(
+                xp, hp, c, wx, wh, b, dh_next_p, dc_next
+            )
+    if os.environ.get("SATFLOW_MERGED_CONV_BWD", "1") == "1":
+        # DEFAULT: merged linear grads — the separate dx conv has only
+        # Cx(=12) output lanes, a <10%-occupied MXU pass. Concatenating [x|h]
+        # channels runs ONE data-grad conv (Cx+Ch lanes) and ONE weight-grad
+        # contraction (9*(Cx+Ch) rows) instead of four ops, at the cost of
+        # one (B,H,W+2,Cx+Ch) concat per step. Measured +6.9% at 64px b32,
+        # +3.8% at 256px b8 chunk=6 (tools/exp_train_ceiling.py); opt out
+        # with SATFLOW_MERGED_CONV_BWD=0.
+        cx = xp.shape[-1]
+        xh = jnp.concatenate([xp, hp], axis=-1)
+        w3c = jnp.concatenate([wx, wh], axis=2)  # (3,3,Cx+Ch,4Ch)
+        _, vjp_xh = jax.vjp(lambda t: _conv3x3_padded(t, w3c), xh)
+        (dxh,) = vjp_xh(dgates)
+        dxp, dhp = dxh[..., :cx], dxh[..., cx:]
+        _, vjp_w = jax.vjp(lambda w_: _conv3x3_padded(xh, w_), w3c)
+        (dw3,) = vjp_w(dgates)
+        dwx, dwh = dw3[:, :, :cx], dw3[:, :, cx:]
+    else:
+        _, vjp_x = jax.vjp(lambda x_: _conv3x3_padded(x_, wx), xp)
+        (dxp,) = vjp_x(dgates)
+        _, vjp_h = jax.vjp(lambda h_: _conv3x3_padded(h_, wh), hp)
+        (dhp,) = vjp_h(dgates)
+        _, vjp_wx = jax.vjp(lambda w_: _conv3x3_padded(xp, w_), wx)
+        (dwx,) = vjp_wx(dgates)
+        _, vjp_wh = jax.vjp(lambda w_: _conv3x3_padded(hp, w_), wh)
+        (dwh,) = vjp_wh(dgates)
     db = dgates.sum(axis=(0, 1, 2)).astype(b.dtype)
     return dxp, dhp, dc_prev, dwx, dwh, db
 
@@ -786,15 +856,30 @@ def _bwd(use_pallas, residuals, cotangents):
     else:
         dgates, dc_prev = _gate_bwd_ref(x, h, c, wx, wh, b, dh_next, dc_next)
     # Linear pieces: conv is linear in each argument, so these VJPs are the
-    # standard transposed/weight-grad convs with no recompute.
-    _, vjp_x = jax.vjp(lambda x_: _conv3x3(x_, wx), x)
-    (dx,) = vjp_x(dgates)
-    _, vjp_h = jax.vjp(lambda h_: _conv3x3(h_, wh), h)
-    (dh,) = vjp_h(dgates)
-    _, vjp_wx = jax.vjp(lambda w_: _conv3x3(x, w_), wx)
-    (dwx,) = vjp_wx(dgates)
-    _, vjp_wh = jax.vjp(lambda w_: _conv3x3(h, w_), wh)
-    (dwh,) = vjp_wh(dgates)
+    # standard transposed/weight-grad convs with no recompute. Default:
+    # MERGED formulation — one [x|h]-concatenated data-grad conv and one
+    # weight-grad contraction instead of four ops (the separate dx conv has
+    # only Cx output lanes, a mostly-idle MXU pass; measured +6.9% at 64px,
+    # +3.8% at 256px — docs/DESIGN.md training-ceiling table).
+    if os.environ.get("SATFLOW_MERGED_CONV_BWD", "1") == "1":
+        cx = x.shape[-1]
+        xh = jnp.concatenate([x, h], axis=-1)
+        w3c = jnp.concatenate([wx, wh], axis=2)
+        _, vjp_xh = jax.vjp(lambda t: _conv3x3(t, w3c), xh)
+        (dxh,) = vjp_xh(dgates)
+        dx, dh = dxh[..., :cx], dxh[..., cx:]
+        _, vjp_w = jax.vjp(lambda w_: _conv3x3(xh, w_), w3c)
+        (dw3,) = vjp_w(dgates)
+        dwx, dwh = dw3[:, :, :cx], dw3[:, :, cx:]
+    else:
+        _, vjp_x = jax.vjp(lambda x_: _conv3x3(x_, wx), x)
+        (dx,) = vjp_x(dgates)
+        _, vjp_h = jax.vjp(lambda h_: _conv3x3(h_, wh), h)
+        (dh,) = vjp_h(dgates)
+        _, vjp_wx = jax.vjp(lambda w_: _conv3x3(x, w_), wx)
+        (dwx,) = vjp_wx(dgates)
+        _, vjp_wh = jax.vjp(lambda w_: _conv3x3(h, w_), wh)
+        (dwh,) = vjp_wh(dgates)
     db = dgates.sum(axis=(0, 1, 2)).astype(b.dtype)
     return dx, dh, dc_prev, dwx, dwh, db
 
