@@ -201,6 +201,7 @@ class NowcastingGAN(GANBase):
         pretrained: bool = False,
         conv_type: str = "standard",
         num_samples: int = 3,
+        disc_steps: int = 2,
         grid_lambda: float = 20.0,
         latent_channels: int = 768,
         context_channels: int = 384,
@@ -213,6 +214,10 @@ class NowcastingGAN(GANBase):
     ):
         self.output_shape = output_shape
         self.num_samples = num_samples
+        # 2 discriminator updates per generator update (Ravuri et al.; the
+        # reference's skillful_nowcasting training loop does the same) —
+        # consumed by train/steps.py make_gan_train_step
+        self.disc_steps = disc_steps
         self.grid_lambda = grid_lambda
         self.latent_channels = latent_channels
         self.context_channels = context_channels

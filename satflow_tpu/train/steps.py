@@ -60,21 +60,32 @@ def make_gan_train_step(model) -> Callable:
     current generator output (stop-gradient through G), then generator grads
     against the updated-discriminator-free objective — both updates apply in one
     compiled step, which matches per-batch alternation at half the step launches.
+
+    ``model.disc_steps`` (default 1) runs N discriminator updates per
+    generator update — DGMR trains its dual discriminator twice per
+    generator step (Ravuri et al.; the reference's skillful_nowcasting
+    dependency does the same).
     """
+    disc_steps = int(getattr(model, "disc_steps", 1))
 
     def train_step(state: GANTrainState, batch, rng: jax.Array):
         rng_g, rng_d, rng_gp = jax.random.split(rng, 3)
 
-        def d_loss_fn(d_params):
-            loss, (metrics, new_model_state) = model.discriminator_loss(
-                state.g_params, d_params, state.model_state, batch, rng_d, rng_gp
-            )
-            return loss, (metrics, new_model_state)
+        d_metrics = None
+        for i in range(disc_steps):
+            rng_di = jax.random.fold_in(rng_d, i)
 
-        d_grads, (d_metrics, new_model_state) = jax.grad(d_loss_fn, has_aux=True)(
-            state.d_params
-        )
-        state = state.apply_d(d_grads, new_model_state)
+            def d_loss_fn(d_params, _rng=rng_di, _state=None):
+                loss, (metrics, new_model_state) = model.discriminator_loss(
+                    state.g_params, d_params, state.model_state, batch,
+                    _rng, rng_gp
+                )
+                return loss, (metrics, new_model_state)
+
+            d_grads, (d_metrics, new_model_state) = jax.grad(
+                d_loss_fn, has_aux=True
+            )(state.d_params)
+            state = state.apply_d(d_grads, new_model_state)
 
         def g_loss_fn(g_params):
             loss, (metrics, new_model_state) = model.generator_loss(
