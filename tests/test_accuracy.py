@@ -133,3 +133,30 @@ def test_trained_cloudgan_beats_baselines_without_collapse():
     d_loss = trainer.callback_metrics["train/d_loss"]
     assert 0.02 < d_loss < 2.0, f"discriminator collapsed/diverged: {d_loss}"
     assert np.isfinite(trainer.callback_metrics["train/g_adv_loss"])
+
+
+def test_dgmr_study_artifact_quality():
+    """DGMR quality gate over the committed study artifact (tools/gan_gate.py
+    trains 150 epochs on TPU — too heavy for the CPU suite, so the gate
+    validates the recorded results): the 3-sample mean must beat persistence
+    on the stochastic-future set and the discriminator must have ended
+    bounded away from collapse. The sample-diversity collapse itself is a
+    DOCUMENTED negative result (docs/ACCURACY.md GAN section) — asserted
+    recorded, not hidden."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "gan_results.json")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["dgmr"]["mse"] < r["persistence@stochastic"]["mse"]
+    assert 0.02 < r["dgmr"]["d_loss"] < 4.0
+    assert r["cloudgan"]["mse"] < r["optical_flow"]["mse"] < r["persistence"]["mse"]
+    # CloudGAN D-health is gated LIVE at the 16px geometry
+    # (test_trained_cloudgan_beats_baselines_without_collapse); at the 32px
+    # study geometry the lsgan D ends near-won at convergence — recorded in
+    # the artifact, not asserted healthy
+    assert np.isfinite(r["cloudgan"]["d_loss"])
+    # the collapse is recorded: sample_std present alongside the oracle scale
+    assert "sample_std" in r["dgmr"] and "oracle_sample_std" in r
