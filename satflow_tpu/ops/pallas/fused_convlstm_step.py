@@ -577,6 +577,13 @@ def _bwd_padded(use_pallas, residuals, cotangents):
             )
         if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":
             use = False
+        if use and _pick_block_h(
+            xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1], None,
+            xp.dtype.itemsize,
+        ) < 4:
+            # full-disk widths: the backward's VMEM budget needs bh < 2,
+            # below the Mosaic floor — ride the exact XLA gate backward
+            use = False
         if use:
             dgates, dc_prev = _gate_bwd_pallas(
                 xp, hp, c, wx, wh, b, dh_next_p, dc_next, padded=True
@@ -779,10 +786,19 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
         dh_w = width
     ch = c.shape[-1]
     if block_h is None:
-        # The backward carries ~4 MB more VMEM than the forward (dh/dc inputs,
-        # dgates output + f32 accumulator); at W=256 block_h=8 exceeds the
-        # 16 MB scoped limit by 1.5 MB (measured) — halve the row block there.
-        block_h = 8 if width * ch < 128 * 128 else 4
+        # The backward carries roughly 2x the forward's VMEM per row block
+        # (dh/dc inputs, dgates output + f32 accumulator): at W=256 block_h=8
+        # exceeds the 16 MB scoped limit by 1.5 MB (measured), and at W=1024
+        # the old fixed floor of 4 exceeded it by 8.1 MB (AOT-measured).
+        # Scale with the forward's byte-budget pick, halved, capped at the
+        # proven 8 — preserves every measured config (8@64px, 8@128px,
+        # 4@256px) and shrinks for full-disk widths (1@1024px+).
+        fwd_pick = _pick_block_h(height, width, cx, ch, None, x.dtype.itemsize)
+        # floor 2: Mosaic mis-lowers the im2col concat at 1-row blocks
+        # ("result/input offset mismatch", AOT-observed at W=1024/bh=1);
+        # widths where even bh=2 busts the budget fall back to the XLA gate
+        # backward in the callers (see _bwd_padded)
+        block_h = min(8, max(2, fwd_pick // 2))
         while height % block_h:
             block_h //= 2
         block_h = max(block_h, 1)
@@ -851,6 +867,11 @@ def _bwd(use_pallas, residuals, cotangents):
 
     if os.environ.get("SATFLOW_FUSED_BWD", "1") == "0":  # A/B toggle
         use = False
+    if use and _pick_block_h(
+        x.shape[1], x.shape[2], x.shape[-1], c.shape[-1], None,
+        x.dtype.itemsize,
+    ) < 4:
+        use = False  # see _bwd_padded: bwd bh would fall below the Mosaic floor
     if use:
         dgates, dc_prev = _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next)
     else:

@@ -61,18 +61,29 @@ def main():
     state = TrainState.create(params, mstate, model.make_optimizer())
     step = make_train_step(model)
 
+    import re
+
     lowered = jax.jit(step).lower(state, (x, y), rng)
-    compiled = lowered.compile()
-    ma = compiled.memory_analysis()
     hbm_gb = None
-    if ma is not None:
-        total = (
-            getattr(ma, "temp_size_in_bytes", 0)
-            + getattr(ma, "argument_size_in_bytes", 0)
-            + getattr(ma, "output_size_in_bytes", 0)
-            - getattr(ma, "alias_size_in_bytes", 0)
-        )
-        hbm_gb = total / 1e9
+    oom_msg = None
+    try:
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            total = (
+                getattr(ma, "temp_size_in_bytes", 0)
+                + getattr(ma, "argument_size_in_bytes", 0)
+                + getattr(ma, "output_size_in_bytes", 0)
+                - getattr(ma, "alias_size_in_bytes", 0)
+            )
+            hbm_gb = total / 1e9
+    except Exception as e:  # noqa: BLE001 - the OOM *is* the evidence
+        m = re.search(r"Used ([0-9.]+)G of ([0-9.]+)G hbm", str(e))
+        if not m:
+            raise
+        hbm_gb = float(m.group(1))
+        oom_msg = (f"XLA compile refused: needs {m.group(1)} GB HBM on a "
+                   f"{m.group(2)} GB chip")
 
     # per-step H-sharded activation arithmetic: the dominant residuals are
     # the per-chunk scan carries + per-step (B, H, W, ch) tensors — all
@@ -82,6 +93,7 @@ def main():
         "geometry": f"{args.size}px b{args.batch} F{args.steps} "
                     f"chunk={args.remat_chunk} bf16",
         "single_chip_hbm_gb": round(hbm_gb, 2) if hbm_gb else None,
+        "single_chip_compile": oom_msg or "compiled",
         "v5e_hbm_gb": 15.75,
         "fits_single_chip": (hbm_gb or 0) <= 15.75,
         "spatial_shards": args.shards,
