@@ -36,7 +36,10 @@ def make_dm():
     return DecayDM()
 
 
-def main():
+ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "unet", "runet")
+
+
+def main(arms=None):
     from satflow_tpu.baseline.optical_flow import run_baseline
     from satflow_tpu.core.registry import create_model
     from satflow_tpu.core.utils import setup_compilation_cache
@@ -45,10 +48,15 @@ def main():
     from satflow_tpu.train.engine import Trainer
     import satflow_tpu.models  # noqa: F401
 
+    arms = set(arms or ALL_ARMS)
     setup_compilation_cache()
     eval_ds = DecayingAdvectionDataset(length=3, seed=300, **DS_KW)
 
+    # incremental reruns (--arms unet,runet) merge into the existing study
     results = {}
+    if os.path.exists("docs/accuracy_results.json"):
+        with open("docs/accuracy_results.json") as f:
+            results = json.load(f)
     base = run_baseline(eval_ds, forecast_steps=STEPS, flow_method="farneback",
                         max_batches=3)
     results["persistence"] = {
@@ -68,109 +76,123 @@ def main():
         "mse": float(np.mean(base_hs["flow_loss"])),
     }
 
+    def _eval_into(name, model, trainer, epochs, eval_set=None):
+        variables = {"params": trainer.state.params,
+                     **trainer.state.model_state}
+        curves = evaluate_model(model, variables, eval_set or eval_ds,
+                                max_batches=3, compute_ms_ssim=True)
+        results[name] = {
+            "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+            "mse": float(np.mean(curves["mse"])),
+            "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
+            "ms_ssim": float(np.mean(curves["ms_ssim"])),
+            "epochs": epochs,
+        }
+        print(name, "mse", results[name]["mse"])
+
     # --- ConvLSTM arm: full-resolution, directly against the baselines ------
-    model = create_model(
-        "encoderdecoderconvlstm", input_channels=2, out_channels=2,
-        forecast_steps=STEPS, hidden_dim=32, lr=3e-3,
-    )
-    trainer = Trainer(max_epochs=30, log_every_n_steps=100, seed=0)
-    trainer.fit(model, make_dm())
-    variables = {"params": trainer.state.params, **trainer.state.model_state}
-    curves = evaluate_model(model, variables, eval_ds, max_batches=3,
-                            compute_ms_ssim=True)
-    results["convlstm"] = {
-        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
-        "mse": float(np.mean(curves["mse"])),
-        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
-        "ms_ssim": float(np.mean(curves["ms_ssim"])),
-        "epochs": 30,
-    }
-    print("convlstm mse", results["convlstm"]["mse"])
+    if "convlstm" in arms:
+        model = create_model(
+            "encoderdecoderconvlstm", input_channels=2, out_channels=2,
+            forecast_steps=STEPS, hidden_dim=32, lr=3e-3,
+        )
+        trainer = Trainer(max_epochs=30, log_every_n_steps=100, seed=0)
+        trainer.fit(model, make_dm())
+        _eval_into("convlstm", model, trainer, 30)
 
     # --- Perceiver arm: same full-resolution geometry as ConvLSTM -----------
-    epochs_p = 60
-    perceiver = create_model(
-        "perceiver", input_channels=2, sat_channels=2, base_channels=1,
-        input_size=32, forecast_steps=STEPS, history_steps=4,
-        depth=3, num_latents=64, latent_dim=128, dim=48, queries_dim=48,
-        num_freq_bands=16, predict_timesteps_together=True,
-        lr=2e-3, warmup_steps=100, total_steps=epochs_p * 12,
-    )
-    trainer = Trainer(max_epochs=epochs_p, log_every_n_steps=500, seed=0)
-    trainer.fit(perceiver, make_dm())
-    variables = {"params": trainer.state.params, **trainer.state.model_state}
-    curves = evaluate_model(perceiver, variables, eval_ds, max_batches=3,
-                            compute_ms_ssim=True)
-    results["perceiver"] = {
-        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
-        "mse": float(np.mean(curves["mse"])),
-        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
-        "ms_ssim": float(np.mean(curves["ms_ssim"])),
-        "epochs": epochs_p,
-    }
-    print("perceiver mse", results["perceiver"]["mse"])
+    if "perceiver" in arms:
+        epochs_p = 60
+        perceiver = create_model(
+            "perceiver", input_channels=2, sat_channels=2, base_channels=1,
+            input_size=32, forecast_steps=STEPS, history_steps=4,
+            depth=3, num_latents=64, latent_dim=128, dim=48, queries_dim=48,
+            num_freq_bands=16, predict_timesteps_together=True,
+            lr=2e-3, warmup_steps=100, total_steps=epochs_p * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_p, log_every_n_steps=500, seed=0)
+        trainer.fit(perceiver, make_dm())
+        _eval_into("perceiver", perceiver, trainer, epochs_p)
+
+    # --- Unet / RUnet arms: the stacked image-to-image family (all lead
+    # times as output channels, reference unet.py:24-31 convention) ---------
+    # recipe basis: the 16px probe — features_start=32 @ lr 3e-3 is what
+    # makes the single-shot family beat the flow baseline (16 features
+    # plateaus above it); runet needs ~1.5x the unet schedule.
+    if "unet" in arms:
+        epochs_u = 60
+        unet = create_model(
+            "unet", input_channels=8, forecast_steps=STEPS,
+            channels_per_timestep=2, features_start=32, depth=3, lr=3e-3,
+        )
+        trainer = Trainer(max_epochs=epochs_u, log_every_n_steps=500, seed=0)
+        trainer.fit(unet, make_dm())
+        _eval_into("unet", unet, trainer, epochs_u)
+
+    if "runet" in arms:
+        epochs_r = 100
+        runet = create_model(
+            "runet", input_channels=8, forecast_steps=STEPS,
+            channels_per_timestep=2, features_start=32, depth=3, lr=3e-3,
+        )
+        trainer = Trainer(max_epochs=epochs_r, log_every_n_steps=500, seed=0)
+        trainer.fit(runet, make_dm())
+        _eval_into("runet", runet, trainer, epochs_r)
 
     # --- MetNet arm: MetNet predicts the center 1/4 crop at 1/16 resolution
     # (reference pl_metnet geometry) — apples-to-apples means running the
     # baselines at that SAME target geometry (64px data -> 4x4 targets, where
     # pooled motion is sub-pixel but the intensity decay still discriminates).
-    from satflow_tpu.data import consts
-    from satflow_tpu.data.fake import DecayingAdvectionDataset
-    from satflow_tpu.models.metnet import _avg_pool_frames
-    from satflow_tpu.nn.misc import crop_center
+    if "metnet" in arms:
+        from satflow_tpu.data import consts
+        from satflow_tpu.data.fake import DecayingAdvectionDataset
+        from satflow_tpu.models.metnet import _avg_pool_frames
+        from satflow_tpu.nn.misc import crop_center
 
-    ds64 = dict(DS_KW, width=64, height=64)
-    eval64 = DecayingAdvectionDataset(length=3, seed=300, **ds64)
+        ds64 = dict(DS_KW, width=64, height=64)
+        eval64 = DecayingAdvectionDataset(length=3, seed=300, **ds64)
 
-    def metnet_view(ds):
-        for x, y in ds:
-            out = []
-            for part in (x, y):
-                sat = np.asarray(part[consts.SATELLITE_DATA])
-                sat = np.asarray(
-                    _avg_pool_frames(crop_center(sat, 16, 16), factor=4)
-                )
-                out.append({consts.SATELLITE_DATA: sat})
-            yield tuple(out)
+        def metnet_view(ds):
+            for x, y in ds:
+                out = []
+                for part in (x, y):
+                    sat = np.asarray(part[consts.SATELLITE_DATA])
+                    sat = np.asarray(
+                        _avg_pool_frames(crop_center(sat, 16, 16), factor=4)
+                    )
+                    out.append({consts.SATELLITE_DATA: sat})
+                yield tuple(out)
 
-    base_m = run_baseline(metnet_view(eval64), forecast_steps=STEPS,
-                          flow_method="farneback", max_batches=3)
-    results["persistence@metnet_grid"] = {
-        "mse_t": np.mean(base_m["baseline_loss"], axis=0).tolist(),
-        "mse": float(np.mean(base_m["baseline_loss"])),
-    }
-    results["optical_flow@metnet_grid"] = {
-        "mse_t": np.mean(base_m["flow_loss"], axis=0).tolist(),
-        "mse": float(np.mean(base_m["flow_loss"])),
-    }
+        base_m = run_baseline(metnet_view(eval64), forecast_steps=STEPS,
+                              flow_method="farneback", max_batches=3)
+        results["persistence@metnet_grid"] = {
+            "mse_t": np.mean(base_m["baseline_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_m["baseline_loss"])),
+        }
+        results["optical_flow@metnet_grid"] = {
+            "mse_t": np.mean(base_m["flow_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_m["flow_loss"])),
+        }
 
-    dm64 = make_dm()
-    dm64._dataset = lambda split, n: DecayingAdvectionDataset(
-        length=12, seed={"train": 0, "validation": 100, "test": 200}[split],
-        **ds64,
-    )
-    # warmup must fit the short run: the default warmup_steps=1000 would keep
-    # the LR in warmup for the whole study (12 batches/epoch).
-    epochs_m = 150
-    metnet = create_model(
-        "litmetnet", input_channels=2, sat_channels=2, output_channels=2,
-        input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
-        warmup_steps=100, total_steps=epochs_m * 12,
-    )
-    trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
-    trainer.fit(metnet, dm64)
-    variables = {"params": trainer.state.params, **trainer.state.model_state}
-    curves = evaluate_model(metnet, variables, eval64, max_batches=3,
-                            compute_ms_ssim=True)
-    results["metnet"] = {
-        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
-        "mse": float(np.mean(curves["mse"])),
-        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
-        "ms_ssim": float(np.mean(curves["ms_ssim"])),
-        "epochs": epochs_m,
-    }
-    print("metnet mse", results["metnet"]["mse"],
-          "vs persistence@grid", results["persistence@metnet_grid"]["mse"])
+        dm64 = make_dm()
+        dm64._dataset = lambda split, n: DecayingAdvectionDataset(
+            length=12, seed={"train": 0, "validation": 100,
+                             "test": 200}[split],
+            **ds64,
+        )
+        # warmup must fit the short run: the default warmup_steps=1000 would
+        # keep the LR in warmup for the whole study (12 batches/epoch).
+        epochs_m = 150
+        metnet = create_model(
+            "litmetnet", input_channels=2, sat_channels=2, output_channels=2,
+            input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
+            warmup_steps=100, total_steps=epochs_m * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
+        trainer.fit(metnet, dm64)
+        _eval_into("metnet", metnet, trainer, epochs_m, eval_set=eval64)
+        print("metnet vs persistence@grid",
+              results["persistence@metnet_grid"]["mse"])
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/accuracy_results.json", "w") as f:
@@ -180,7 +202,7 @@ def main():
 
 
 _FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm",
-             "perceiver")
+             "perceiver", "unet", "runet")
 _METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
 
 
@@ -218,7 +240,12 @@ def _write_md(r):
         "`python tools/accuracy_gate.py`; gate enforced by",
         "`tests/test_accuracy.py`.",
         "",
-        "## ConvLSTM & Perceiver — full resolution (32px, 12 lead times)",
+        "## ConvLSTM, Perceiver & the Unet family — full resolution"
+        " (32px, 12 lead times)",
+        "",
+        "Unet/RUnet are the reference's stacked image-to-image family",
+        "(all lead times as output channels, reference unet.py:24-31) —",
+        "single-shot prediction, no autoregression.",
         "",
         *_table(r, _FULL_RES, steps),
         "",
@@ -233,9 +260,25 @@ def _write_md(r):
         *_table(r, _METNET_GRID, steps),
         "",
     ]
+    # preserve the GAN section (owned by tools/gan_gate.py) across reruns
+    gan_tail = ""
+    marker = "## GAN family"
+    if os.path.exists("docs/ACCURACY.md"):
+        with open("docs/ACCURACY.md") as f:
+            doc = f.read()
+        if marker in doc:
+            gan_tail = "\n" + doc[doc.index(marker):]
     with open("docs/ACCURACY.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + gan_tail)
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--arms", default=None,
+                   help=f"comma list of arms to (re)run; default: all of "
+                        f"{','.join(ALL_ARMS)}. Results merge into the "
+                        f"existing docs/accuracy_results.json")
+    a = p.parse_args()
+    main(a.arms.split(",") if a.arms else None)
