@@ -36,7 +36,8 @@ def make_dm():
     return DecayDM()
 
 
-ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "unet", "runet")
+ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "unet", "runet",
+            "attentionunet", "attentionrunet", "fcn", "deeplabv3")
 
 
 def main(arms=None):
@@ -139,6 +140,28 @@ def main(arms=None):
         trainer.fit(runet, make_dm())
         _eval_into("runet", runet, trainer, epochs_r)
 
+    # remaining stacked-family arms (reference attention_unet.py:13-337,
+    # fcn.py:12-115, deeplabv3.py:12-120); the recurrent attention variant
+    # (R2AttU) is the hardest to optimize — the 16px probe shows it needs
+    # 2x the width (64) and 2x the schedule to pass the flow baseline
+    # (at width 32 it plateaus at ~1.5x the flow MSE).
+    stacked = {
+        "attentionunet": (60, dict(features_start=32, depth=3)),
+        "attentionrunet": (120, dict(features_start=64, depth=3)),
+        "fcn": (60, {}),
+        "deeplabv3": (60, {}),
+    }
+    for name, (n_epochs, extra) in stacked.items():
+        if name not in arms:
+            continue
+        m = create_model(
+            name, input_channels=8, forecast_steps=STEPS,
+            channels_per_timestep=2, lr=3e-3, **extra,
+        )
+        trainer = Trainer(max_epochs=n_epochs, log_every_n_steps=2000, seed=0)
+        trainer.fit(m, make_dm())
+        _eval_into(name, m, trainer, n_epochs)
+
     # --- MetNet arm: MetNet predicts the center 1/4 crop at 1/16 resolution
     # (reference pl_metnet geometry) — apples-to-apples means running the
     # baselines at that SAME target geometry (64px data -> 4x4 targets, where
@@ -202,7 +225,8 @@ def main(arms=None):
 
 
 _FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm",
-             "perceiver", "unet", "runet")
+             "perceiver", "unet", "runet", "attentionunet", "attentionrunet",
+             "fcn", "deeplabv3")
 _METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
 
 
@@ -240,12 +264,13 @@ def _write_md(r):
         "`python tools/accuracy_gate.py`; gate enforced by",
         "`tests/test_accuracy.py`.",
         "",
-        "## ConvLSTM, Perceiver & the Unet family — full resolution"
+        "## ConvLSTM, Perceiver & the stacked families — full resolution"
         " (32px, 12 lead times)",
         "",
-        "Unet/RUnet are the reference's stacked image-to-image family",
-        "(all lead times as output channels, reference unet.py:24-31) —",
-        "single-shot prediction, no autoregression.",
+        "Unet/RUnet/attention variants/FCN/DeeplabV3 are the reference's",
+        "stacked image-to-image families (all lead times as output",
+        "channels, reference unet.py:24-31) — single-shot prediction,",
+        "no autoregression.",
         "",
         *_table(r, _FULL_RES, steps),
         "",
