@@ -107,19 +107,28 @@ def _baselines(eval_ds):
     return persist, flow
 
 
-@pytest.mark.parametrize("name,epochs", [("unet", 40), ("runet", 60)])
-def test_trained_unet_family_beats_persistence_and_flow(name, epochs):
-    """The stacked image-to-image family (reference unet.py:24-31 — all lead
-    times as output channels, single-shot) must also close the accuracy loop.
-    Measured at this recipe (features_start=32 is what beats the flow
-    baseline; 16 plateaus above it): unet 0.0032 / runet 0.0060 < flow
-    0.0071 < persistence 0.0183."""
+@pytest.mark.parametrize("name,epochs,extra", [
+    ("unet", 40, dict(features_start=32, depth=3)),
+    ("runet", 60, dict(features_start=32, depth=3)),
+    ("attentionunet", 40, dict(features_start=32, depth=3)),
+    ("fcn", 40, {}),
+    ("deeplabv3", 40, {}),
+])
+def test_trained_unet_family_beats_persistence_and_flow(name, epochs, extra):
+    """The stacked image-to-image families (reference unet.py:24-31,
+    attention_unet.py, fcn.py, deeplabv3.py — all lead times as output
+    channels, single-shot) must also close the accuracy loop. Measured at
+    this recipe (features_start=32 is what beats the flow baseline for the
+    unet family; 16 plateaus above it): unet 0.0032 / runet 0.0060 /
+    attentionunet 0.0031 / fcn 0.0064 / deeplabv3 0.0050 < flow 0.0071
+    < persistence 0.0183. (attentionrunet needs width 64 + 120 epochs —
+    too heavy for the suite; gated via the study artifact instead.)"""
     eval_ds = DecayingAdvectionDataset(length=2, **{**DS_KW, "seed": 300})
     persist_mse, flow_mse = _baselines(eval_ds)
 
     model = create_model(
         name, input_channels=4, forecast_steps=6, channels_per_timestep=1,
-        features_start=32, depth=3, lr=3e-3,
+        lr=3e-3, **extra,
     )
     trainer = Trainer(max_epochs=epochs, log_every_n_steps=1000, seed=0)
     trainer.fit(model, DecayDM())
@@ -168,6 +177,32 @@ def test_trained_cloudgan_beats_baselines_without_collapse():
     d_loss = trainer.callback_metrics["train/d_loss"]
     assert 0.02 < d_loss < 2.0, f"discriminator collapsed/diverged: {d_loss}"
     assert np.isfinite(trainer.callback_metrics["train/g_adv_loss"])
+
+
+def test_accuracy_study_artifact_all_arms_beat_baselines():
+    """The committed 32px study (tools/accuracy_gate.py, docs/ACCURACY.md)
+    must show EVERY trained full-resolution arm beating both baselines, and
+    MetNet beating them at its own output geometry. The heavy arms (e.g.
+    attentionrunet: 120 epochs at width 64) train in the study, not the
+    suite — this validates the recorded artifact the way the DGMR gate does."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "accuracy_results.json")
+    with open(path) as f:
+        r = json.load(f)
+    flow, persist = r["optical_flow"]["mse"], r["persistence"]["mse"]
+    assert flow < persist  # the study's flow arm must be functioning
+    full_res_arms = ["convlstm", "perceiver", "unet", "runet",
+                     "attentionunet", "attentionrunet", "fcn", "deeplabv3"]
+    for arm in full_res_arms:
+        assert r[arm]["mse"] < flow < persist, (
+            f"{arm}: {r[arm]['mse']:.5f} must beat flow {flow:.5f} "
+            f"and persistence {persist:.5f}"
+        )
+    assert r["metnet"]["mse"] < r["optical_flow@metnet_grid"]["mse"]
+    assert r["metnet"]["mse"] < r["persistence@metnet_grid"]["mse"]
 
 
 def test_dgmr_study_artifact_quality():

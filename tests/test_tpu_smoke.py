@@ -109,6 +109,39 @@ def test_tpu_dgmr():
 
 
 @requires_tpu
+def test_tpu_dgmr_reference_scale_train_step():
+    """The reference's flagship GAN config at its PUBLISHED scale
+    (configs/model/nowcasting_gan.yaml: 24 lead frames, 128px, latent 768,
+    context 384, 3 Monte-Carlo samples, dual discriminators) must run a full
+    two-optimizer train step on one v5e chip. Validated 2026-08-17:
+    d_loss/g_loss finite at b1 (compile ≈ minutes; gated behind
+    SATFLOW_TPU_SMOKE like the rest of this file)."""
+    from satflow_tpu.train.state import GANTrainState
+    from satflow_tpu.train.steps import make_gan_train_step
+
+    key = jax.random.PRNGKey(0)
+    model = create_model(
+        "nowcastinggan", forecast_steps=24, input_channels=1,
+        output_shape=128, gen_lr=5e-5, disc_lr=2e-4, grid_lambda=20.0,
+        num_samples=3, latent_channels=768, context_channels=384,
+    )
+    ds = FakeDataset(batch_size=1, width=128, height=128,
+                     number_sat_channels=1, history_minutes=15,
+                     forecast_minutes=120, length=1)
+    batch = ds[0]
+    g_vars, d_vars = model.init_gan_variables(key, batch)
+    g_params, g_state = model.split_variables(g_vars)
+    d_params, d_state = model.split_variables(d_vars)
+    g_tx, d_tx = model.make_optimizers()
+    state = GANTrainState.create(
+        g_params, d_params, {"g": g_state, "d": d_state}, g_tx, d_tx
+    )
+    step = make_gan_train_step(model)
+    state, m = step(state, batch, key)
+    assert bool(jnp.isfinite(m["g_loss"])) and bool(jnp.isfinite(m["d_loss"]))
+
+
+@requires_tpu
 def test_tpu_spatial_rollout_kernel_path():
     """The spatial halo-extended step keeps the Pallas kernel on TPU (the
     extended rows are zero-padded to %8) and matches ConvLSTMCore.apply.
