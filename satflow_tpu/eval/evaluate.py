@@ -63,7 +63,7 @@ def evaluate_model(
     for bi, batch in enumerate(dataset):
         if max_batches is not None and bi >= max_batches:
             break
-        x, y = model.prepare_batch(batch)
+        x, y = model.eval_batch(batch)
         # x is a plain array for single-modality models, a modality dict for
         # Perceiver-family models — tree_map covers both
         x = jax.tree_util.tree_map(jnp.asarray, x)

@@ -81,6 +81,15 @@ class BaseModel:
             y = y["sat_data"]
         return x, y
 
+    def eval_batch(self, batch: Batch) -> Tuple[jax.Array, jax.Array]:
+        """(x, y) for metric evaluation: y must be time-major (B, T, H, W, C).
+
+        Defaults to ``prepare_batch``; models whose training target is
+        channels-stacked (Pix2Pix) override to keep the evaluator's
+        per-lead-time curves meaningful.
+        """
+        return self.prepare_batch(batch)
+
     def forward(
         self,
         variables: Variables,

@@ -102,6 +102,18 @@ class Pix2Pix(GANBase):
         )
         return x, y
 
+    def eval_batch(self, batch):
+        # the training target is channels-stacked; the evaluator needs
+        # time-major y to draw per-lead-time curves
+        x, y = batch
+        if isinstance(x, dict):
+            x = x["sat_data"]
+        if isinstance(y, dict):
+            y = y["sat_data"]
+        x = _stack_time_into_channels(jnp.asarray(x))
+        y = jnp.asarray(y)[..., : self.channels_per_timestep]
+        return x, y
+
     def disc_input(self, x, y):
         # concat(condition, candidate) on channels (pix2pix.py:97,111-121)
         return jnp.concatenate([x, y], axis=-1)
@@ -115,6 +127,12 @@ class Pix2Pix(GANBase):
         return {"frame_loss": jnp.mean(diff, axis=(0, 1, 2, 4))}
 
     def forward(self, variables, x, rng=None, train=False):
+        # eval-facing forward returns time-major (B, T, H, W, cpt) like the
+        # unet family (training rides GANBase.generate on stacked channels)
         if x.ndim == 5:
             x = _stack_time_into_channels(x)
-        return self.module.apply(variables, x, train=train)
+        out = self.module.apply(variables, x, train=train)
+        b, h, w, _ = out.shape
+        out = out.reshape(b, h, w, self.forecast_steps,
+                          self.channels_per_timestep)
+        return jnp.moveaxis(out, 3, 1)

@@ -113,6 +113,7 @@ def _baselines(eval_ds):
     ("attentionunet", 40, dict(features_start=32, depth=3)),
     ("fcn", 40, {}),
     ("deeplabv3", 40, {}),
+    ("pixelcnn", 20, {}),
 ])
 def test_trained_unet_family_beats_persistence_and_flow(name, epochs, extra):
     """The stacked image-to-image families (reference unet.py:24-31,
@@ -122,7 +123,10 @@ def test_trained_unet_family_beats_persistence_and_flow(name, epochs, extra):
     unet family; 16 plateaus above it): unet 0.0032 / runet 0.0060 /
     attentionunet 0.0031 / fcn 0.0064 / deeplabv3 0.0050 < flow 0.0071
     < persistence 0.0183. (attentionrunet needs width 64 + 120 epochs —
-    too heavy for the suite; gated via the study artifact instead.)"""
+    too heavy for the suite; gated via the study artifact instead.)
+    PixelCNN (reference pixel_cnn.py:8-64) joins this gate because it is
+    stacked image-to-image too; its causal masked convs see exactly the
+    up-left context the (1,1)-velocity advection arrives from (0.0010)."""
     eval_ds = DecayingAdvectionDataset(length=2, **{**DS_KW, "seed": 300})
     persist_mse, flow_mse = _baselines(eval_ds)
 
@@ -179,6 +183,42 @@ def test_trained_cloudgan_beats_baselines_without_collapse():
     assert np.isfinite(trainer.callback_metrics["train/g_adv_loss"])
 
 
+def test_trained_pix2pix_beats_baselines_without_collapse():
+    """Pix2Pix quality loop: the conditional stacked-channels GAN (reference
+    pix2pix.py:14-182 — unet/resnet generator + PatchGAN on
+    concat(condition, candidate), GAN loss + λ·L1) must ALSO produce a
+    generator that beats persistence and optical flow, with adversarial
+    health bounded away from collapse. At the 16px probe the patch map
+    needs the 2-layer PatchGAN (3 layers collapse it) and the resnet_6blocks
+    generator (unet_128's 7 downsamplings exceed the geometry).
+    Measured at this recipe: gen 0.0054 < flow 0.0071 < persist 0.0183,
+    final d_loss ~0.13 (lsgan)."""
+    eval_ds = DecayingAdvectionDataset(length=2, **{**DS_KW, "seed": 300})
+    persist_mse, flow_mse = _baselines(eval_ds)
+
+    model = create_model(
+        "pix2pix", forecast_steps=6, input_channels=4,
+        channels_per_timestep=1, generator_model="resnet_6blocks",
+        discriminator_model="n_layers", discriminator_layers=2,
+        num_filters=16, lr=2e-3, lambda_l1=100.0, loss="lsgan",
+    )
+    trainer = Trainer(max_epochs=12, log_every_n_steps=1000, seed=0)
+    trainer.fit(model, DecayDM())
+
+    g_vars = {"params": trainer.state.g_params,
+              **trainer.state.model_state.get("g", {})}
+    curves = evaluate_model(model, g_vars, eval_ds, max_batches=2,
+                            compute_ms_ssim=False)
+    gen_mse = float(np.mean(curves["mse"]))
+    assert gen_mse < flow_mse < persist_mse, (
+        f"expected generator ({gen_mse:.4f}) < flow ({flow_mse:.4f}) "
+        f"< persistence ({persist_mse:.4f})"
+    )
+    d_loss = trainer.callback_metrics["train/d_loss"]
+    assert 0.02 < d_loss < 2.0, f"discriminator collapsed/diverged: {d_loss}"
+    assert np.isfinite(trainer.callback_metrics["train/g_adv_loss"])
+
+
 def test_accuracy_study_artifact_all_arms_beat_baselines():
     """The committed 32px study (tools/accuracy_gate.py, docs/ACCURACY.md)
     must show EVERY trained full-resolution arm beating both baselines, and
@@ -195,7 +235,8 @@ def test_accuracy_study_artifact_all_arms_beat_baselines():
     flow, persist = r["optical_flow"]["mse"], r["persistence"]["mse"]
     assert flow < persist  # the study's flow arm must be functioning
     full_res_arms = ["convlstm", "perceiver", "unet", "runet",
-                     "attentionunet", "attentionrunet", "fcn", "deeplabv3"]
+                     "attentionunet", "attentionrunet", "fcn", "deeplabv3",
+                     "pixelcnn"]
     for arm in full_res_arms:
         assert r[arm]["mse"] < flow < persist, (
             f"{arm}: {r[arm]['mse']:.5f} must beat flow {flow:.5f} "
@@ -228,5 +269,10 @@ def test_dgmr_study_artifact_quality():
     # study geometry the lsgan D ends near-won at convergence — recorded in
     # the artifact, not asserted healthy
     assert np.isfinite(r["cloudgan"]["d_loss"])
+    # Pix2Pix: the stacked-channels conditional GAN's study arm must also
+    # beat both baselines with a live adversarial game (lsgan d_loss in the
+    # healthy band at this geometry)
+    assert r["pix2pix"]["mse"] < r["optical_flow"]["mse"] < r["persistence"]["mse"]
+    assert 0.02 < r["pix2pix"]["d_loss"] < 2.0
     # the collapse is recorded: sample_std present alongside the oracle scale
     assert "sample_std" in r["dgmr"] and "oracle_sample_std" in r

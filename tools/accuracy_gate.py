@@ -37,7 +37,7 @@ def make_dm():
 
 
 ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "unet", "runet",
-            "attentionunet", "attentionrunet", "fcn", "deeplabv3")
+            "attentionunet", "attentionrunet", "fcn", "deeplabv3", "pixelcnn")
 
 
 def main(arms=None):
@@ -143,20 +143,25 @@ def main(arms=None):
     # remaining stacked-family arms (reference attention_unet.py:13-337,
     # fcn.py:12-115, deeplabv3.py:12-120); the recurrent attention variant
     # (R2AttU) is the hardest to optimize — the 16px probe shows it needs
-    # 2x the width (64) and 2x the schedule to pass the flow baseline
-    # (at width 32 it plateaus at ~1.5x the flow MSE).
+    # 2x the width (64) and the longest schedule to pass the flow baseline
+    # (at width 32 it plateaus at ~1.5x the flow MSE). DeeplabV3's ASPP at
+    # output-stride 16 sees a 2x2 feature map at this geometry (the dilated
+    # branches degenerate to their center tap) — see the study note.
     stacked = {
-        "attentionunet": (60, dict(features_start=32, depth=3)),
-        "attentionrunet": (120, dict(features_start=64, depth=3)),
-        "fcn": (60, {}),
-        "deeplabv3": (60, {}),
+        "attentionunet": (60, 3e-3, dict(features_start=32, depth=3)),
+        "attentionrunet": (200, 3e-3, dict(features_start=64, depth=3)),
+        "fcn": (60, 3e-3, {}),
+        "deeplabv3": (150, 1e-3, {}),
+        # causal masked convs (reference pixel_cnn.py:8-64) — the up-left
+        # receptive field covers the advection source, so it converges fast
+        "pixelcnn": (40, 1e-3, {}),
     }
-    for name, (n_epochs, extra) in stacked.items():
+    for name, (n_epochs, lr, extra) in stacked.items():
         if name not in arms:
             continue
         m = create_model(
             name, input_channels=8, forecast_steps=STEPS,
-            channels_per_timestep=2, lr=3e-3, **extra,
+            channels_per_timestep=2, lr=lr, **extra,
         )
         trainer = Trainer(max_epochs=n_epochs, log_every_n_steps=2000, seed=0)
         trainer.fit(m, make_dm())
@@ -226,7 +231,7 @@ def main(arms=None):
 
 _FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm",
              "perceiver", "unet", "runet", "attentionunet", "attentionrunet",
-             "fcn", "deeplabv3")
+             "fcn", "deeplabv3", "pixelcnn")
 _METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
 
 
