@@ -253,7 +253,9 @@ def test_dgmr_study_artifact_quality():
     on the stochastic-future set and the discriminator must have ended
     bounded away from collapse. The sample-diversity collapse itself is a
     DOCUMENTED negative result (docs/ACCURACY.md GAN section) — asserted
-    recorded, not hidden."""
+    recorded, not hidden — and the CRPS-selected checkpoint (the rebuild's
+    probabilistic model-selection recipe) must beat persistence and the
+    final checkpoint on the paper's own metric."""
     import json
     import os
 
@@ -276,3 +278,13 @@ def test_dgmr_study_artifact_quality():
     assert 0.02 < r["pix2pix"]["d_loss"] < 2.0
     # the collapse is recorded: sample_std present alongside the oracle scale
     assert "sample_std" in r["dgmr"] and "oracle_sample_std" in r
+    # CRPS checkpoint selection (eval/probabilistic.py, gan_gate CRPSSelect):
+    # the selected checkpoint must CRPS-beat persistence (the M=1 MAE
+    # baseline) AND the final checkpoint, and improve the mean MSE — and the
+    # oracle gap (what accuracy+calibrated-spread would score) is recorded
+    s = r["dgmr_crps_selected"]
+    assert s["crps"] < r["persistence@stochastic"]["crps"]
+    assert s["crps"] <= r["dgmr"]["crps"]
+    assert s["mse"] < r["persistence@stochastic"]["mse"]
+    assert r["oracle_crps"] < s["crps"]  # the documented diversity gap
+    assert len(s["trajectory"]) >= 10  # the selection curve is in the artifact

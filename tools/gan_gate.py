@@ -180,15 +180,26 @@ def main(arms=None):
                 self.best = None
                 self.trajectory = []
 
+                # ONE jitted probe with the weights as an argument — an eager
+                # per-epoch _sample would bake each epoch's weights in as
+                # constants, recompiling the sampler scan every epoch and
+                # exhausting vm.max_map_count over a 150-epoch run.
+                def _probe(g_vars, x, y, rng):
+                    samples, _ = model._sample(g_vars, x, rng, False,
+                                               model.num_samples)
+                    return (jnp.mean(crps_ensemble(samples, y)),
+                            jnp.mean(jnp.std(samples, axis=1)))
+
+                self._probe = jax.jit(_probe)
+
             def on_validation_end(self, engine, metrics, epoch):
                 g_vars = {"params": engine.state.g_params,
                           **engine.state.model_state.get("g", {})}
                 x, y = self.model.prepare_batch(self.batch)
-                samples, _ = self.model._sample(
-                    g_vars, jnp.asarray(x), jax.random.PRNGKey(123), False,
-                    self.model.num_samples)
-                crps = float(np.mean(crps_ensemble(samples, jnp.asarray(y))))
-                std = float(np.mean(np.std(np.asarray(samples), axis=1)))
+                crps, std = self._probe(g_vars, jnp.asarray(x),
+                                        jnp.asarray(y),
+                                        jax.random.PRNGKey(123))
+                crps, std = float(crps), float(std)
                 self.trajectory.append(
                     {"epoch": epoch, "crps": crps, "std": std})
                 if self.best is None or crps < self.best["crps"]:
@@ -351,14 +362,26 @@ def _write_md(r):
         f"~{r['dgmr']['sample_std']:.0e} std vs the oracle's "
         f"{r['oracle_sample_std']:.3f} —",
         "classic small-data GAN mode collapse (the trajectory is diverse",
-        "mid-training, then the grid-regularized mean converges and the",
-        "spread decays). The rebuild therefore selects the checkpoint by",
-        "CRPS — the skillful-nowcasting paper's own probabilistic metric,",
-        "which penalizes both miss and collapse (eval/probabilistic.py):",
-        "an every-epoch CRPS probe on a held-out stochastic batch keeps the",
-        "best-CRPS parameters (tools/gan_gate.py CRPSSelect). The selected",
-        "checkpoint's spread and CRPS are reported above alongside the",
-        "final checkpoint and the perfect 3-mode oracle; selection",
+        "early: std ~ oracle scale around epoch 10, then the",
+        "grid-regularized mean converges and the spread decays). The",
+        "rebuild therefore selects the checkpoint by CRPS — the",
+        "skillful-nowcasting paper's own probabilistic metric, which",
+        "penalizes both miss and collapse (eval/probabilistic.py): an",
+        "every-epoch jitted CRPS probe on a held-out stochastic batch keeps",
+        "the best-CRPS parameters (tools/gan_gate.py CRPSSelect).",
+        "",
+        "Measured outcome: selection improves every headline number",
+        f"(CRPS {r['dgmr']['crps']:.4f} -> "
+        f"{r['dgmr_crps_selected']['crps']:.4f}, well under persistence's "
+        f"{r['persistence@stochastic']['crps']:.4f}; mean MSE "
+        f"{r['dgmr']['mse']:.4f} -> {r['dgmr_crps_selected']['mse']:.4f}) —",
+        "but the CRPS optimum on this trajectory is itself collapsed:",
+        "accuracy gains dominate the spread term, so even the paper's own",
+        "probabilistic metric prefers the sharp conditional-mean checkpoint",
+        "over the diverse-but-blurry mid-training ones. The oracle row",
+        f"(CRPS {r['oracle_crps']:.4f} with calibrated spread) quantifies",
+        "what a sampler that kept BOTH accuracy and diversity would score —",
+        "the documented gap, not hidden behind metric choice. Selection",
         "trajectory (every 10th epoch) is in docs/gan_results.json.",
         "",
         "| t | persistence | optical_flow | cloudgan | pix2pix | "
