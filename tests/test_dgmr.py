@@ -84,6 +84,43 @@ def test_generator_rollout_shape(rng):
     assert _finite(y_hat)
 
 
+def test_crps_finetune_improves_fair_crps(rng):
+    """Generator-only fair-CRPS fine-tune (train/probabilistic.py): the loss
+    must drop over a short run, non-param collections stay frozen, and the
+    M<2 misuse raises (fair CRPS is undefined for a deterministic forecast)."""
+    from satflow_tpu.data.fake import StochasticAdvectionDataset
+    from satflow_tpu.train.probabilistic import crps_finetune
+
+    model = _tiny_dgmr()
+    ds = StochasticAdvectionDataset(
+        batch_size=2, width=32, height=32, number_sat_channels=1,
+        history_minutes=15, forecast_minutes=10, length=2, seed=0,
+    )
+    g_vars, _ = model.init_gan_variables(rng, ds[0])
+
+    new_vars, hist = crps_finetune(
+        model, g_vars, [ds[0], ds[1]], steps=12, num_samples=3, lr=2e-3,
+        log_every=4,
+    )
+    assert len(hist) >= 3 and all(jnp.isfinite(jnp.asarray(hist)))
+    assert hist[-1] < hist[0]  # the proper score improves
+    # params moved, frozen collections did not
+    changed = jax.tree_util.tree_reduce(
+        lambda a, b: a or b,
+        jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)),
+            g_vars["params"], new_vars["params"]),
+    )
+    assert changed
+    for k in g_vars:
+        if k != "params":
+            assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.all(a == b)), g_vars[k], new_vars[k]))
+
+    with pytest.raises(ValueError):
+        crps_finetune(model, g_vars, [ds[0]], steps=1, num_samples=1)
+
+
 def test_dgmr_gan_step(rng):
     model = _tiny_dgmr()
     batch = _batch()

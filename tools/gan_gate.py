@@ -248,6 +248,31 @@ def main(arms=None):
               "crps", results["dgmr_crps_selected"]["crps"],
               "std", results["dgmr_crps_selected"]["sample_std"])
 
+        # Fair-CRPS fine-tune (train/probabilistic.py): the CRPS-selected
+        # checkpoint is accurate but collapsed; a short generator-only
+        # fine-tune on the PROPER score (fair ensemble CRPS) optimizes
+        # accuracy AND calibrated spread in one objective — the measured
+        # answer to the accuracy-vs-diversity gap documented above.
+        from satflow_tpu.train.probabilistic import crps_finetune
+
+        ft_steps = int(os.environ.get("SATFLOW_DGMR_FT_STEPS", "400"))
+        train_sto = StochasticAdvectionDataset(length=12, seed=0, **DS_KW)
+        ft_vars, ft_hist = crps_finetune(
+            dgmr, jax.tree_util.tree_map(jnp.asarray, sel["g_vars"]),
+            list(train_sto), steps=ft_steps, num_samples=6, lr=1e-4,
+        )
+        results["dgmr_crps_finetuned"] = {
+            **_ensemble_row(ft_vars),
+            "finetune_steps": ft_steps,
+            "finetune_num_samples": 6,
+            "from_epoch": sel["epoch"],
+            "fair_crps_history": ft_hist,
+            "num_samples": dgmr.num_samples,
+        }
+        print("dgmr FINETUNED mse", results["dgmr_crps_finetuned"]["mse"],
+              "crps", results["dgmr_crps_finetuned"]["crps"],
+              "std", results["dgmr_crps_finetuned"]["sample_std"])
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/gan_results.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -321,6 +346,10 @@ def _write_md(r):
         "selected_epoch": -1, "mse": float("nan"), "crps": float("nan"),
         "sample_std": float("nan"),
     })
+    r.setdefault("dgmr_crps_finetuned", {
+        "from_epoch": -1, "finetune_steps": 0, "mse": float("nan"),
+        "crps": float("nan"), "sample_std": float("nan"),
+    })
     lines = [
         _MARKER,
         "",
@@ -352,6 +381,11 @@ def _write_md(r):
         f"{r['dgmr_crps_selected']['mse']:.5f} | "
         f"{r['dgmr_crps_selected']['crps']:.5f} | - | "
         f"{r['dgmr_crps_selected']['sample_std']:.5f} |",
+        f"| dgmr + fair-CRPS fine-tune "
+        f"({r['dgmr_crps_finetuned']['finetune_steps']} steps) | "
+        f"{r['dgmr_crps_finetuned']['mse']:.5f} | "
+        f"{r['dgmr_crps_finetuned']['crps']:.5f} | - | "
+        f"{r['dgmr_crps_finetuned']['sample_std']:.5f} |",
         f"| oracle 3-mode sampler | - | {r['oracle_crps']:.5f} | - | "
         f"{r['oracle_sample_std']:.5f} |",
         "",
@@ -383,6 +417,21 @@ def _write_md(r):
         "what a sampler that kept BOTH accuracy and diversity would score —",
         "the documented gap, not hidden behind metric choice. Selection",
         "trajectory (every 10th epoch) is in docs/gan_results.json.",
+        "",
+        "**Fair-CRPS fine-tune.** The measured answer to that gap: a short",
+        "generator-only fine-tune of the selected checkpoint on the FAIR",
+        "ensemble CRPS (train/probabilistic.py) — a strictly proper scoring",
+        "rule whose optimum is the true predictive distribution, so one",
+        "differentiable objective rewards accuracy AND calibrated spread",
+        "(gradients flow pathwise through the reparameterized latents).",
+        f"Result ({r['dgmr_crps_finetuned']['finetune_steps']} Adam steps,",
+        "M=6 training ensemble): CRPS "
+        f"{r['dgmr_crps_selected']['crps']:.4f} -> "
+        f"{r['dgmr_crps_finetuned']['crps']:.4f}, sample std "
+        f"{r['dgmr_crps_selected']['sample_std']:.1e} -> "
+        f"{r['dgmr_crps_finetuned']['sample_std']:.1e} (oracle "
+        f"{r['oracle_sample_std']:.3f}), mean MSE "
+        f"{r['dgmr_crps_finetuned']['mse']:.4f}.",
         "",
         "| t | persistence | optical_flow | cloudgan | pix2pix | "
         "dgmr@stochastic |",
