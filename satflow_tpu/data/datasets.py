@@ -93,7 +93,12 @@ class NetCDFBatchStore:
             # datasets (with DIMENSION_LIST attrs pointing at the scales)
             if node.attrs.get("CLASS") in (b"DIMENSION_SCALE", "DIMENSION_SCALE"):
                 return
-            out[name.split("/")[-1]] = np.asarray(node[()])
+            arr = np.asarray(node[()])
+            # HDF5 permits explicit big-endian types ('>f4'); JAX only takes
+            # native order (same invariant as the NetCDF3 reader below)
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            out[name.split("/")[-1]] = arr
 
         with h5py.File(fname, "r") as f:
             f.visititems(visit)

@@ -501,6 +501,14 @@ def fused_convlstm_step_padded(xp, hp, c, wx, wh, b,
             and xp.shape[1] % 8 == 0
             and c.shape[-1] % 8 == 0
             and wx.shape[:2] == (3, 3)
+            # full-disk widths: the VMEM byte budget drives block_h to 1,
+            # where Mosaic mis-lowers the im2col concat ("result/input
+            # offset mismatch", AOT-observed at W=1024/bh=1 on the backward,
+            # same concat structure here) — ride the exact XLA step instead
+            and _pick_block_h(
+                xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1],
+                None, xp.dtype.itemsize,
+            ) >= 2
         )
     if use:
         return _step_pallas_padded(xp, hp, c, wx, wh, b)
@@ -523,6 +531,10 @@ def _fwd_padded(xp, hp, c, wx, wh, b, use_pallas):
                 and xp.shape[1] % 8 == 0
                 and c.shape[-1] % 8 == 0
                 and wx.shape[:2] == (3, 3)
+                and _pick_block_h(  # bh=1 Mosaic guard, see dispatchers
+                    xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1],
+                    None, xp.dtype.itemsize,
+                ) >= 2
             )
         if use:
             h2, c2, gates = _step_pallas_padded(
@@ -635,6 +647,12 @@ def fused_convlstm_step(x, h, c, wx, wh, b, use_pallas: Optional[bool] = None):
             and x.shape[1] % 8 == 0
             and c.shape[-1] % 8 == 0
             and wx.shape[:2] == (3, 3)
+            # bh=1 is a known Mosaic im2col miscompile — see the padded
+            # dispatcher; fall back to the exact XLA step at such widths
+            and _pick_block_h(
+                x.shape[1], x.shape[2], x.shape[-1], c.shape[-1],
+                None, x.dtype.itemsize,
+            ) >= 2
         )
     if use:
         import os

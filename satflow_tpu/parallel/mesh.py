@@ -19,6 +19,7 @@ Multi-host (the reference's ``num_nodes``) is the same mesh built from
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -55,6 +56,24 @@ def get_mesh() -> Mesh:
 def set_mesh(mesh: Mesh) -> None:
     global _GLOBAL_MESH
     _GLOBAL_MESH = mesh
+
+
+@contextlib.contextmanager
+def mesh_scope(mesh: Mesh):
+    """Bind ``mesh`` as the process-global mesh for the duration of a block.
+
+    Used by the trainer's spatial mode: the DxM mesh must be the global one
+    while its loaders shard batches, but a PERMANENT rebind would silently
+    change sharding for every later ``get_mesh()`` consumer in the process
+    (e.g. a non-spatial fit after a spatial one would run D-way DP with
+    M-way replication — an M-fold throughput loss with no error)."""
+    global _GLOBAL_MESH
+    prev = _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _GLOBAL_MESH = prev
 
 
 def batch_sharding(mesh: Optional[Mesh] = None, axis: str = "data") -> NamedSharding:

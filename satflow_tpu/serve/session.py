@@ -173,6 +173,22 @@ class InferenceSession:
         hp["max_batch"] = self.max_batch
         return hp
 
+    def check_input_range(self, x: np.ndarray) -> None:
+        """Reject out-of-range int8 inputs (no-op for non-quantized sessions).
+
+        The int8 activation scale is fixed for [-1, 1] inputs;
+        quantize_activations would silently clip anything outside (e.g.
+        standardized radiances spanning +/-3). MicroBatcher calls this
+        per REQUEST before pooling, so one out-of-range client cannot fail
+        a coalesced batch for everyone else."""
+        if getattr(self, "_qparams", None) is not None and x.size:
+            amax = float(np.max(np.abs(x)))
+            if amax > 1.0 + 1e-3:
+                raise ValueError(
+                    f"quantize='int8' expects inputs in [-1, 1]; got "
+                    f"|x|max={amax:.3g} — normalize inputs or use the bf16 path"
+                )
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         """(B, T, H, W, C) -> (B, forecast_steps, H', W', C') for B <= max_batch.
 
@@ -182,16 +198,7 @@ class InferenceSession:
         x = np.asarray(x)
         if x.ndim == 4:  # single sample convenience
             return self.predict(x[None])[0]
-        if getattr(self, "_qparams", None) is not None and x.size:
-            # the int8 activation scale is fixed for [-1, 1] inputs;
-            # quantize_activations would silently clip anything outside
-            # (e.g. standardized radiances spanning +/-3), so reject instead
-            amax = float(np.max(np.abs(x)))
-            if amax > 1.0 + 1e-3:
-                raise ValueError(
-                    f"quantize='int8' expects inputs in [-1, 1]; got "
-                    f"|x|max={amax:.3g} — normalize inputs or use the bf16 path"
-                )
+        self.check_input_range(x)
         b = x.shape[0]
         if b > self.max_batch:
             outs = [
@@ -268,6 +275,9 @@ class MicroBatcher:
         single = x.ndim == 4
         if single:
             x = x[None]
+        # per-request validation BEFORE pooling: a 400-class client fault
+        # must fail only its own request, not the coalesced group
+        self.session.check_input_range(x)
         p = _Pending(x)
         self._q.put(p)
         if self._stop.is_set() and not p.event.is_set():

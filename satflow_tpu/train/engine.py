@@ -17,11 +17,12 @@ to TPU-native mechanics:
 
 from __future__ import annotations
 
+import contextlib
 import math
 import signal
 import threading
 import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -104,6 +105,7 @@ class Trainer:
         self.last_batch = None
         self._lr_schedule = None
         self._plateau = None
+        self._spatial_mesh = None
 
     # -- public API ----------------------------------------------------------
 
@@ -120,7 +122,36 @@ class Trainer:
             return None
         return float(self._lr_schedule(self.global_step))
 
+    def _parse_spatial(self) -> Tuple[int, int]:
+        try:
+            d_size, m_size = (
+                int(p) for p in str(self.spatial).lower().split("x")
+            )
+        except ValueError as e:
+            raise ValueError(
+                f"trainer.spatial={self.spatial!r}: expected 'DxM' "
+                "(data x model axis sizes, e.g. '2x4')"
+            ) from e
+        return d_size, m_size
+
+    def _bind_spatial_mesh(self):
+        """Context binding this trainer's DxM mesh as the global mesh — for
+        the duration of one entry point only, so later non-spatial work in
+        the process keeps full-device DP (see parallel.mesh.mesh_scope)."""
+        if not self.spatial:
+            return contextlib.nullcontext()
+        from satflow_tpu.parallel.mesh import make_mesh, mesh_scope
+
+        if self._spatial_mesh is None:
+            d_size, m_size = self._parse_spatial()
+            self._spatial_mesh = make_mesh([d_size, m_size])
+        return mesh_scope(self._spatial_mesh)
+
     def fit(self, model, datamodule) -> Dict[str, float]:
+        with self._bind_spatial_mesh():
+            return self._fit_impl(model, datamodule)
+
+    def _fit_impl(self, model, datamodule) -> Dict[str, float]:
         rng = jax.random.PRNGKey(self.seed)
         # a reused Trainer (tune -> fit, or fit after an early stop) starts clean
         self.should_stop = False
@@ -272,25 +303,32 @@ class Trainer:
 
     def validate(self, model=None, datamodule=None) -> Dict[str, float]:
         model = model or self.model
-        if self.state is None:
-            self._build_state(model, jax.random.PRNGKey(self.seed),
-                              datamodule.val_dataloader())
-            self.model = model
-        eval_step = make_gan_eval_step(model) if model.is_gan else make_eval_step(model)
-        metrics = self._run_eval(
-            eval_step, datamodule.val_dataloader(), "val", jax.random.PRNGKey(self.seed)
-        )
+        with self._bind_spatial_mesh():
+            if self.state is None:
+                self._build_state(model, jax.random.PRNGKey(self.seed),
+                                  datamodule.val_dataloader())
+                self.model = model
+            eval_step = (make_gan_eval_step(model) if model.is_gan
+                         else make_eval_step(model))
+            metrics = self._run_eval(
+                eval_step, datamodule.val_dataloader(), "val",
+                jax.random.PRNGKey(self.seed)
+            )
         self.log_metrics(metrics, self.global_step)
         return metrics
 
     def test(self, model=None, datamodule=None) -> Dict[str, float]:
         model = model or self.model
-        if self.state is None:
-            self._build_state(model, jax.random.PRNGKey(self.seed), datamodule.test_dataloader())
-        eval_step = make_gan_eval_step(model) if model.is_gan else make_eval_step(model)
-        metrics = self._run_eval(
-            eval_step, datamodule.test_dataloader(), "test", jax.random.PRNGKey(self.seed)
-        )
+        with self._bind_spatial_mesh():
+            if self.state is None:
+                self._build_state(model, jax.random.PRNGKey(self.seed),
+                                  datamodule.test_dataloader())
+            eval_step = (make_gan_eval_step(model) if model.is_gan
+                         else make_eval_step(model))
+            metrics = self._run_eval(
+                eval_step, datamodule.test_dataloader(), "test",
+                jax.random.PRNGKey(self.seed)
+            )
         self.log_metrics(metrics, self.global_step)
         return metrics
 
@@ -335,24 +373,20 @@ class Trainer:
         if self.spatial:
             # "DxM": D-way data parallelism x M-way spatial (H-axis) model
             # parallelism — e.g. trainer.spatial=2x4 on an 8-device mesh.
-            # The model must implement enable_spatial (fused ConvLSTM).
-            from satflow_tpu.parallel.mesh import make_mesh, set_mesh
-
-            try:
-                d_size, m_size = (int(p) for p in str(self.spatial).lower().split("x"))
-            except ValueError as e:
-                raise ValueError(
-                    f"trainer.spatial={self.spatial!r}: expected 'DxM' "
-                    "(data x model axis sizes, e.g. '2x4')"
-                ) from e
+            # The model must implement enable_spatial (fused ConvLSTM). The
+            # mesh itself is bound as the global mesh by _bind_spatial_mesh
+            # around each entry point, NOT permanently.
             if not hasattr(model, "enable_spatial"):
                 raise ValueError(
                     f"{type(model).__name__} does not support spatial "
                     "parallelism (no enable_spatial)"
                 )
-            mesh = make_mesh([d_size, m_size])
-            set_mesh(mesh)
-            model.enable_spatial(mesh, axis="model")
+            if self._spatial_mesh is None:
+                from satflow_tpu.parallel.mesh import make_mesh
+
+                d_size, m_size = self._parse_spatial()
+                self._spatial_mesh = make_mesh([d_size, m_size])
+            model.enable_spatial(self._spatial_mesh, axis="model")
         # precision: 16/"bf16" → bf16 compute dtype (params stay f32), the TPU
         # analog of the reference's AMP (configs/trainer/half.yaml:36).
         if str(self.precision) in ("16", "bf16", "bfloat16") and getattr(

@@ -17,7 +17,7 @@ latent draws (the noise enters via ``rngs``; the network transform is
 differentiable), so plain Adam on the generator parameters works.
 
 Used by tools/gan_gate.py to close the measured accuracy-vs-diversity gap of
-the CRPS-selected DGMR checkpoint; gated by tests/test_train.py.
+the CRPS-selected DGMR checkpoint; gated by tests/test_dgmr.py.
 """
 
 from __future__ import annotations

@@ -67,6 +67,14 @@ def make_gan_train_step(model) -> Callable:
     dependency does the same).
     """
     disc_steps = int(getattr(model, "disc_steps", 1))
+    if disc_steps < 1:
+        # a frozen discriminator (disc_steps=0) would leave d_metrics unbound
+        # below AND silently train the generator against a random critic —
+        # freeze by setting disc_lr=0 instead, which keeps the metrics real
+        raise ValueError(
+            f"disc_steps must be >= 1 (got {disc_steps}); to freeze the "
+            "discriminator use disc_lr=0"
+        )
 
     def train_step(state: GANTrainState, batch, rng: jax.Array):
         rng_g, rng_d, rng_gp = jax.random.split(rng, 3)

@@ -95,7 +95,8 @@ def main():
         "single_chip_hbm_gb": round(hbm_gb, 2) if hbm_gb else None,
         "single_chip_compile": oom_msg or "compiled",
         "v5e_hbm_gb": 15.75,
-        "fits_single_chip": (hbm_gb or 0) <= 15.75,
+        # None = memory analysis unavailable: report unknown, never "fits"
+        "fits_single_chip": (hbm_gb <= 15.75) if hbm_gb else None,
         "spatial_shards": args.shards,
         "sharded_activation_fraction": round(act_scale, 4),
         "sharded_est_hbm_gb": round(hbm_gb * act_scale, 2) if hbm_gb else None,

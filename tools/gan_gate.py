@@ -338,10 +338,24 @@ def _persistence_crps(eval_ds):
 
 
 def _write_md(r):
-    # tolerate partial --arms reruns against a pre-CRPS artifact
-    r.setdefault("oracle_crps", float("nan"))
-    r["persistence@stochastic"].setdefault("crps", float("nan"))
-    r["dgmr"].setdefault("crps", float("nan"))
+    # Tolerate partial --arms reruns against a missing/older artifact: every
+    # row the table references gets a NaN placeholder, so e.g. a fresh
+    # `--arms cloudgan` run still writes its own results instead of dying
+    # on a KeyError for the arms it didn't run.
+    nan = float("nan")
+    nan_t = [nan] * STEPS
+    for arm in ("persistence", "optical_flow", "cloudgan", "pix2pix"):
+        r.setdefault(arm, {"mse": nan, "mse_t": nan_t})
+        r[arm].setdefault("mse_t", nan_t)
+        r[arm].setdefault("d_loss", nan)
+    r.setdefault("persistence@stochastic", {"mse": nan, "mse_t": nan_t})
+    r.setdefault("dgmr", {"mse": nan, "mse_t": nan_t, "d_loss": nan,
+                          "sample_std": nan, "num_samples": 3})
+    r["dgmr"].setdefault("mse_t", nan_t)
+    r.setdefault("oracle_sample_std", nan)
+    r.setdefault("oracle_crps", nan)
+    r["persistence@stochastic"].setdefault("crps", nan)
+    r["dgmr"].setdefault("crps", nan)
     r.setdefault("dgmr_crps_selected", {
         "selected_epoch": -1, "mse": float("nan"), "crps": float("nan"),
         "sample_std": float("nan"),
