@@ -133,3 +133,17 @@ def test_int8_session_rejects_out_of_range_inputs():
                         quantize="int8")
     with pytest.raises(ValueError, match="int8"):
         s.predict(x * 3.0)  # standardized-radiance-like range
+
+    # The range check is PER REQUEST in the MicroBatcher: one out-of-range
+    # client must fail alone, not poison the coalesced group it would have
+    # been pooled with (review finding).
+    from satflow_tpu.serve import MicroBatcher
+
+    mb = MicroBatcher(s, window_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="int8"):
+            mb.submit(x[0] * 3.0, timeout=60.0)
+        good = mb.submit(np.clip(x[0], 0.0, 1.0), timeout=60.0)
+        assert good.shape[0] == 2 and np.isfinite(good).all()
+    finally:
+        mb.close()

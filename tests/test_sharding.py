@@ -426,8 +426,14 @@ def test_spatial_trainer_fit():
         fake_kwargs=dict(batch_size=8, width=16, height=16),
         history_minutes=15, forecast_minutes=10,
     )
+    from satflow_tpu.parallel.mesh import get_mesh
+
+    mesh_before = get_mesh()
     trainer = Trainer(max_epochs=3, spatial="2x4", log_every_n_steps=1, seed=0)
     metrics = trainer.fit(model, dm)
+    # the DxM mesh is scoped to the trainer entry point: a later non-spatial
+    # fit in the same process must keep full-device DP (review finding)
+    assert get_mesh() is mesh_before
     assert np.isfinite(metrics["train/loss"])
     hist = trainer.history.history
     first = next(m["train/loss"] for m in hist if "train/loss" in m)
