@@ -14,5 +14,14 @@ concurrent requests at high chip utilization. TPU-native specifics:
 
 from satflow_tpu.serve.session import InferenceSession, MicroBatcher
 from satflow_tpu.serve.server import NowcastServer, serve
+from satflow_tpu.serve.export import ExportedModel, export_model, load_exported
 
-__all__ = ["InferenceSession", "MicroBatcher", "NowcastServer", "serve"]
+__all__ = [
+    "ExportedModel",
+    "InferenceSession",
+    "MicroBatcher",
+    "NowcastServer",
+    "export_model",
+    "load_exported",
+    "serve",
+]

@@ -311,3 +311,58 @@ def test_session_dp_sharded_serving():
     with pytest.raises(ValueError, match="data axis"):
         InferenceSession(s1.model, max_batch=3, variables=s1._variables,
                          mesh=mesh)
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """serve/export.py: the compiled forward serializes to ONE StableHLO
+    artifact (weights baked in) and deserializes WITHOUT the model zoo,
+    producing the same predictions; shape/magic misuse gives clear errors."""
+    from satflow_tpu.serve.export import export_model, load_exported
+
+    s = _session(max_batch=2)
+    path = str(tmp_path / "model.shlo")
+    meta = export_model(s.model, s._variables, path, batch=B, history=T,
+                        size=H, channels=C)
+    assert meta["in_shape"] == [B, T, H, W, C]
+    assert meta["out_shape"][:2] == [B, STEPS]
+
+    art = load_exported(path)
+    x = np.random.default_rng(3).random((B, T, H, W, C)).astype(np.float32)
+    y_ref = np.asarray(s.model.forward(s._variables, x))
+    np.testing.assert_allclose(art(x), y_ref, atol=1e-5)
+
+    with pytest.raises(ValueError, match="fixed at export time"):
+        art(x[:1])
+    bad = tmp_path / "bad.shlo"
+    bad.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="magic"):
+        load_exported(str(bad))
+
+
+def test_stablehlo_export_cli_from_checkpoint(tmp_path):
+    """End to end: train-state checkpoint -> `python -m
+    satflow_tpu.serve.export local:<dir> out` -> load -> predict."""
+    import optax
+
+    from satflow_tpu.serve.export import load_exported, main as export_main
+    from satflow_tpu.train.checkpoint import save_checkpoint
+    from satflow_tpu.train.state import TrainState
+
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=C, out_channels=C,
+        forecast_steps=STEPS, hidden_dim=4,
+    )
+    x = np.zeros((1, T, H, W, C), np.float32)
+    variables = model.module.init(jax.random.PRNGKey(0), x)
+    params, model_state = model.split_variables(variables)
+    state = TrainState.create(params, model_state, optax.adam(1e-3))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, state, model)
+
+    out = str(tmp_path / "model.shlo")
+    export_main([f"local:{ckpt}", out, "--batch", "1", "--history", str(T),
+                 "--size", str(H), "--channels", str(C)])
+    art = load_exported(out)
+    xr = np.random.default_rng(5).random((1, T, H, W, C)).astype(np.float32)
+    y = art(xr)
+    assert y.shape == (1, STEPS, H, W, C) and np.isfinite(y).all()
