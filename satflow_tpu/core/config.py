@@ -27,10 +27,29 @@ import yaml
 PACKAGE_GLOBAL_RE = re.compile(r"^#\s*@package\s+_global_\s*$", re.MULTILINE)
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader + a YAML-1.2-style float resolver: PyYAML (YAML 1.1) only
+    floats '1.0e-4', but hydra users write '1e-4' (run.py's own docstring
+    does) — without this, such values reach optimizers as strings. Resolving
+    at PARSE time (not post-hoc) keeps explicitly quoted scalars ("1e5" as a
+    version id) as the strings the user wrote."""
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text: str) -> Any:
+    return yaml.load(text, Loader=_Yaml12Loader)
+
+
 def _read_yaml(path: str) -> Dict[str, Any]:
     with open(path) as f:
         text = f.read()
-    data = yaml.safe_load(text) or {}
+    data = _yaml_load(text) or {}
     if not isinstance(data, dict):
         raise ValueError(f"Config file {path} must contain a mapping, got {type(data)}")
     data["__package_global__"] = bool(PACKAGE_GLOBAL_RE.search(text))
@@ -77,7 +96,7 @@ def _del_dotted(cfg: Dict[str, Any], dotted: str):
 
 def _parse_value(raw: str) -> Any:
     try:
-        return yaml.safe_load(raw)
+        return _yaml_load(raw)
     except yaml.YAMLError:
         return raw
 
@@ -111,7 +130,10 @@ def _apply_group(cfg: Dict[str, Any], config_dir: str, group: str, name: Optiona
                     g = str(g).removeprefix("override ").removeprefix("/")
                     _apply_group(cfg, config_dir, g, n)
             # bare strings in nested defaults are ignored (hydra self-refs)
-    if pkg_global or group in ("experiment", "configurations_global"):
+    if pkg_global or not group or group in ("experiment", "configurations_global"):
+        # @package _global_ overlays AND bare-string defaults entries (root
+        # config files, group "") merge at the ROOT — a bare entry under
+        # cfg[""] would be invisible to every consumer
         cfg.update(merge(cfg, data))
     else:
         cfg[group] = merge(cfg.get(group, {}), data)
@@ -149,9 +171,11 @@ def compose(
 
     cfg: Dict[str, Any] = {}
     seen_groups = []
+    merged_self = False
     for entry in defaults:
         if entry == "_self_":
             cfg = merge(cfg, root)
+            merged_self = True
             continue
         if isinstance(entry, str):
             _apply_group(cfg, config_dir, "", entry)
@@ -164,8 +188,11 @@ def compose(
             if name is not None:
                 _apply_group(cfg, config_dir, group, name)
 
-    # Root-file keys not already merged via _self_.
-    if root:
+    # Root-file keys when the defaults list has no explicit _self_ entry.
+    # When _self_ WAS present, root already merged at its position — merging
+    # again here would clobber overlays from groups processed after _self_
+    # (hydra's _self_-first pattern).
+    if root and not merged_self:
         cfg = merge(cfg, root)
 
     # Group overrides for groups not present in the defaults list (e.g. +experiment=x).

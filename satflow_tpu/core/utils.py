@@ -20,26 +20,46 @@ from typing import Any, Dict, Optional, Sequence
 import jax
 import numpy as np
 
-# Reference data cadence: one frame every 5 minutes (satflow/core/utils.py:63).
-MINUTES_PER_STEP = 5
-
-# The 4 cyclic datetime features the dataset emits
-# (nowcasting_dataset consts, used at reference satflow/data/datamodules.py:196-200).
-DATETIME_FEATURE_NAMES = (
-    "hour_of_day_sin",
-    "hour_of_day_cos",
-    "day_of_year_sin",
-    "day_of_year_cos",
+# Batch-schema constants live in data.consts (single source of truth);
+# re-exported here because the reference defines the cadence in core/utils
+# (satflow/core/utils.py:63) and existing callers import from here.
+from satflow_tpu.data.consts import (  # noqa: E402
+    DATETIME_FEATURE_NAMES,
+    MINUTES_PER_STEP,
 )
 
 
+# Rank for the rank-zero logging gate. Set by
+# parallel.distributed.maybe_initialize_distributed() AFTER jax.distributed
+# comes up; before that every host passes. The gate must NOT call
+# jax.process_index() eagerly: get_logger runs at module import (run.py,
+# experiments/train.py), and touching the backend there initializes jax
+# BEFORE jax.distributed.initialize() can run — which raises, gets swallowed
+# by the single-host fallback, and silently turns a pod run into N
+# disconnected single-host runs.
+_PROCESS_INDEX: int = 0
+
+
+class _RankZeroFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+        return _PROCESS_INDEX == 0
+
+
+def set_logging_process_index(index: int) -> None:
+    """Record this host's process index for the rank-zero logging gate."""
+    global _PROCESS_INDEX
+    _PROCESS_INDEX = int(index)
+
+
 def get_logger(name: str = __name__, level: int = logging.INFO) -> logging.Logger:
-    """Multi-host-aware logger: only process 0 emits (reference :30-41 rank_zero)."""
+    """Multi-host-aware logger: only process 0 emits (reference :30-41 rank_zero).
+
+    The rank check is LAZY (per record, against ``_PROCESS_INDEX``) — see the
+    comment above; it must never touch the jax backend at import time."""
     logger = logging.getLogger(name)
     logger.setLevel(level)
-    if jax.process_index() != 0:
-        logger.addHandler(logging.NullHandler())
-        logger.propagate = False
+    if not any(isinstance(f, _RankZeroFilter) for f in logger.filters):
+        logger.addFilter(_RankZeroFilter())
     return logger
 
 
@@ -100,8 +120,12 @@ def extras(config: Dict[str, Any]) -> Dict[str, Any]:
     if config.get("debug"):
         trainer = dict(config.get("trainer", {}))
         trainer["fast_dev_run"] = True
-        trainer["num_workers"] = 0
         config["trainer"] = trainer
+        # single-threaded data path for breakpoint-friendly debugging: the
+        # knob belongs to the DATAMODULE (the Trainer has no num_workers)
+        datamodule = dict(config.get("datamodule", {}))
+        datamodule["num_workers"] = 0
+        config["datamodule"] = datamodule
     return config
 
 

@@ -253,7 +253,13 @@ class SatFlowDataModule:
             pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
             candidate = os.path.join(pkg_root, filename)
             if not os.path.exists(candidate):
-                return {}
+                # A typo'd configuration path must not silently fall back to
+                # default history/forecast minutes — that changes the
+                # past/future split under the user with no error.
+                raise FileNotFoundError(
+                    f"configuration_filename {filename!r} not found (also "
+                    f"tried {candidate!r})"
+                )
             filename = candidate
         import yaml
 

@@ -20,11 +20,29 @@ topographic channel-dim expand (:104).
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from satflow_tpu.data import consts
+
+
+def batch_file_regex(pattern: str) -> "re.Pattern[str]":
+    """The filename rule for one batch file: ``pattern`` with ``{idx}`` as
+    an integer. Shared with RemoteBatchStore so every store counts its
+    readable range the same way."""
+    return re.compile(
+        "^" + re.escape(pattern).replace(re.escape("{idx}"), r"\d+") + "$"
+    )
+
+
+def _count_batch_files(path: str, pattern: str) -> int:
+    """Count only files matching the store's pattern: stray siblings
+    (stats.npz, norm files) must not inflate the readable range —
+    ``read(len-1)`` would hit a missing batch file mid-epoch."""
+    rx = batch_file_regex(pattern)
+    return sum(1 for f in os.listdir(path) if rx.match(f))
 
 
 class NpzBatchStore:
@@ -36,7 +54,7 @@ class NpzBatchStore:
         self.path = path
 
     def __len__(self) -> int:
-        return len([f for f in os.listdir(self.path) if f.endswith(".npz")])
+        return _count_batch_files(self.path, self.pattern)
 
     def read(self, idx: int) -> Dict[str, np.ndarray]:
         fname = os.path.join(self.path, self.pattern.format(idx=idx))
@@ -67,7 +85,7 @@ class NetCDFBatchStore:
         self.path = path
 
     def __len__(self) -> int:
-        return len([f for f in os.listdir(self.path) if f.endswith(".nc")])
+        return _count_batch_files(self.path, self.pattern)
 
     def read(self, idx: int) -> Dict[str, np.ndarray]:
         fname = os.path.join(self.path, self.pattern.format(idx=idx))
@@ -150,7 +168,7 @@ class SfbBatchStore:
         self.path = path
 
     def __len__(self) -> int:
-        return len([f for f in os.listdir(self.path) if f.endswith(".sfb")])
+        return _count_batch_files(self.path, self.pattern)
 
     def read(self, idx: int) -> Dict[str, np.ndarray]:
         from satflow_tpu.data.native_ingest import NativeSfbLoader, native_available

@@ -176,21 +176,30 @@ class RemoteBatchStore:
             # list-less transports (anonymous-HTTPS s3 fallback): probe-fetch
             # batch_0.<ext> instead of listing the prefix.
             for ext in ("sfb", "npz", "nc"):
+                # same .part + os.replace protocol as _ensure_local: a
+                # mid-transfer failure must not leave a truncated batch_0
+                # in the cache for a later read() to decode
                 probe = os.path.join(self.cache_dir, f"batch_0.{ext}")
+                tmp = probe + ".part"
                 try:
                     self._fetcher["fetch"](
-                        _join_url(self.url, f"batch_0.{ext}"), probe
+                        _join_url(self.url, f"batch_0.{ext}"), tmp
                     )
                 except Exception:  # noqa: BLE001 - missing/denied: next ext
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
                     continue
+                os.replace(tmp, probe)
                 return "batch_{idx}." + ext
             raise FileNotFoundError(
                 f"could not probe batch_0.(sfb|npz|nc) under {self.url}; the "
                 f"{self._scheme!r} transport cannot list — pass pattern="
             )
+        from satflow_tpu.data.datasets import batch_file_regex
+
         names = self.list_remote()
         for ext in ("sfb", "npz", "nc"):
-            rx = re.compile(r"^batch_\d+\." + ext + "$")
+            rx = batch_file_regex("batch_{idx}." + ext)
             n = sum(1 for name in names if rx.match(name))
             if n:
                 # count only batch_{i}.<ext>: stray files (stats.npz, ...)
@@ -210,10 +219,9 @@ class RemoteBatchStore:
 
     def __len__(self) -> int:
         if self._remote_len is None:
-            import re
+            from satflow_tpu.data.datasets import batch_file_regex
 
-            ext = self.pattern.rsplit(".", 1)[-1]
-            rx = re.compile(r"^batch_\d+\." + ext + "$")
+            rx = batch_file_regex(self.pattern)
             self._remote_len = sum(
                 1 for n in self.list_remote() if rx.match(n)
             )

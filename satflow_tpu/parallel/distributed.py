@@ -39,6 +39,11 @@ def maybe_initialize_distributed(
 
     import jax
 
+    wants_distributed = bool(
+        (coordinator_address and num_processes)
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
     try:
         if coordinator_address and num_processes:
             jax.distributed.initialize(
@@ -47,11 +52,39 @@ def maybe_initialize_distributed(
                 process_id=process_id or 0,
             )
             _INITIALIZED = True
-        elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        elif wants_distributed:
             jax.distributed.initialize()
             _INITIALIZED = True
-    except Exception:  # noqa: BLE001 - single-host fallback is always valid
-        return False
+    except Exception as e:  # noqa: BLE001 - single-host fallback is valid...
+        if wants_distributed:
+            # ...but NOT silently when the env asked for a pod: a swallowed
+            # failure here (e.g. "backend already initialized" from an eager
+            # jax call before this ran) turns the pod into N disconnected
+            # single-host runs with wrong global batch and no gradient sync.
+            import logging
+
+            logging.getLogger(__name__).error(
+                "multi-host env detected but jax.distributed.initialize "
+                "FAILED (%s: %s); continuing with the already-initialized "
+                "backend. If this says the backend is already initialized, "
+                "something touched jax before maybe_initialize_distributed().",
+                type(e).__name__, e,
+            )
+        # The backend may already be up (e.g. an external launcher called
+        # jax.distributed.initialize before us): querying it is safe now, so
+        # still sync the rank-zero logging gate and report the real topology
+        # instead of assuming single-host.
+        try:
+            from satflow_tpu.core.utils import set_logging_process_index
+
+            set_logging_process_index(jax.process_index())
+            return jax.process_count() > 1
+        except Exception:  # noqa: BLE001 - no backend at all
+            return False
+    if _INITIALIZED:
+        from satflow_tpu.core.utils import set_logging_process_index
+
+        set_logging_process_index(jax.process_index())
     return _INITIALIZED and jax.process_count() > 1
 
 

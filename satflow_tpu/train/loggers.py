@@ -50,26 +50,51 @@ class CSVLogger(BaseLogger):
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, "metrics.csv")
         self._fieldnames: List[str] = ["step", "time"]
-        self._rows: List[Dict[str, float]] = []
+        # Bounded buffer, appended incrementally: long runs must not hold
+        # every row in memory nor rewrite the whole file per flush (O(n^2)
+        # I/O over a 100k-step run). The file is rewritten ONLY when a new
+        # metric key appears (schema change — rare: typically once when the
+        # first val epoch adds val/ columns).
+        self._pending: List[Dict[str, float]] = []
+        self._written = 0
 
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         row = {"step": step, "time": time.time(), **metrics}
-        for k in row:
-            if k not in self._fieldnames:
-                self._fieldnames.append(k)
-        self._rows.append(row)
-        if len(self._rows) % 50 == 0:
+        new_keys = [k for k in row if k not in self._fieldnames]
+        if new_keys and self._written:
+            self._rewrite_with(new_keys)
+        else:
+            self._fieldnames.extend(new_keys)
+        self._pending.append(row)
+        if len(self._pending) >= 50:
             self._flush()
 
     def log_hyperparams(self, hparams: Dict[str, Any]) -> None:
         with open(os.path.join(self.dir, "hparams.json"), "w") as f:
             json.dump(_jsonable(hparams), f, indent=2, default=str)
 
-    def _flush(self) -> None:
+    def _rewrite_with(self, new_keys: List[str]) -> None:
+        """Widen the on-disk schema: re-emit existing rows with new columns."""
+        self._flush()
+        with open(self.path, newline="") as f:
+            rows = list(csv.DictReader(f))
+        self._fieldnames.extend(new_keys)
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             writer.writeheader()
-            writer.writerows(self._rows)
+            writer.writerows(rows)
+
+    def _flush(self) -> None:
+        if not self._pending and self._written:
+            return
+        mode = "a" if self._written else "w"
+        with open(self.path, mode, newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            if not self._written:
+                writer.writeheader()
+            writer.writerows(self._pending)
+        self._written += len(self._pending)
+        self._pending = []
 
     def finalize(self) -> None:
         self._flush()

@@ -81,3 +81,48 @@ class TestExtras:
     def test_debug_forces_fast_dev_run(self):
         out = extras({"debug": True, "model": {}, "trainer": {}})
         assert out["trainer"]["fast_dev_run"] is True
+        # the single-threaded-data knob lands on the node that READS it
+        assert out["datamodule"]["num_workers"] == 0
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 self-review, pinned."""
+
+    def test_scientific_notation_override_is_float(self):
+        # PyYAML (YAML 1.1) leaves '1e-4' a string; run.py's own docstring
+        # example `model.lr=1e-4` must produce a float
+        cfg = compose(CONFIG_DIR, overrides=["model.lr=1e-4"])
+        assert cfg["model"]["lr"] == pytest.approx(1e-4)
+        assert isinstance(cfg["model"]["lr"], float)
+
+    def test_scientific_notation_in_yaml_file(self, tmp_path):
+        # bare 1e-style floats parse as floats (YAML 1.2 / hydra semantics),
+        # while explicitly QUOTED scalars stay the strings the user wrote
+        (tmp_path / "config.yaml").write_text(
+            'lr: 5e-5\nversion: "1e5"\nname: x\n'
+        )
+        cfg = compose(str(tmp_path))
+        assert cfg["lr"] == pytest.approx(5e-5)
+        assert cfg["version"] == "1e5"
+
+    def test_self_first_defaults_keeps_overlay_values(self, tmp_path):
+        # hydra's recommended _self_-FIRST pattern: groups after _self_ must
+        # override root keys (the root must NOT re-merge after the loop)
+        os.makedirs(tmp_path / "experiment")
+        (tmp_path / "config.yaml").write_text(
+            "defaults:\n  - _self_\n  - experiment: foo\nseed: 0\n"
+        )
+        (tmp_path / "experiment" / "foo.yaml").write_text(
+            "# @package _global_\nseed: 42\n"
+        )
+        cfg = compose(str(tmp_path))
+        assert cfg["seed"] == 42
+
+    def test_bare_string_defaults_merge_at_root(self, tmp_path):
+        (tmp_path / "config.yaml").write_text(
+            "defaults:\n  - base\n  - _self_\nseed: 1\n"
+        )
+        (tmp_path / "base.yaml").write_text("alpha: 3\n")
+        cfg = compose(str(tmp_path))
+        assert cfg["alpha"] == 3 and "" not in cfg
+        assert cfg["seed"] == 1

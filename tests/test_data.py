@@ -246,3 +246,33 @@ def test_netcdf_store_reads_hdf5_netcdf4_layout(tmp_path):
     out = store.read(0)
     assert set(out) == {"sat_data"}
     np.testing.assert_array_equal(out["sat_data"], sat)
+
+
+def test_store_len_ignores_stray_files(tmp_path):
+    """stats.npz / norm files beside the batches must not inflate len()
+    (read(len-1) would hit a missing batch file mid-epoch)."""
+    import os
+
+    from satflow_tpu.data.datasets import NpzBatchStore
+
+    path = str(tmp_path / "store")
+    write_fake_store(path, n_batches=3, batch_size=2, size=8)
+    np.savez(os.path.join(path, "stats.npz"), mean=np.zeros(1))
+    np.savez(os.path.join(path, "batch_extra_notes.npz"), x=np.zeros(1))
+    store = NpzBatchStore(path)
+    assert len(store) == 3
+    store.read(len(store) - 1)  # the full reported range is readable
+
+
+def test_missing_configuration_file_raises(tmp_path):
+    """A typo'd configuration_filename must fail loudly, not silently fall
+    back to default history/forecast minutes (wrong past/future split)."""
+    import pytest
+
+    from satflow_tpu.data.datamodule import SatFlowDataModule
+
+    with pytest.raises(FileNotFoundError, match="configuration_filename"):
+        SatFlowDataModule(
+            fake_data=True, num_workers=0, shard=False,
+            configuration_filename=str(tmp_path / "nope.yaml"),
+        )

@@ -44,3 +44,50 @@ def test_make_image_grid_shapes():
     grid = make_image_grid(frames, nrow=3, pad=1)
     assert grid.shape == (2 * 7, 3 * 8, 3)  # 2 rows × (6+1), 3 cols × (7+1), rgb
     assert grid.min() >= 0.0 and grid.max() <= 1.0
+
+
+def test_csv_logger_appends_and_widens_schema(tmp_path):
+    """Incremental appends (no O(n^2) rewrite) + on-disk schema widening when
+    a later row introduces new metric keys (e.g. the first val epoch)."""
+    lg = CSVLogger(save_dir=str(tmp_path), name="run")
+    for step in range(120):  # crosses two 50-row flushes
+        lg.log_metrics({"train/loss": float(step)}, step)
+    lg.log_metrics({"train/loss": 120.0, "val/loss": 0.5}, 120)
+    lg.finalize()
+    path = os.path.join(str(tmp_path), "run", "metrics.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 121
+    assert float(rows[60]["train/loss"]) == 60.0
+    assert rows[60]["val/loss"] == ""      # widened column backfills empty
+    assert float(rows[-1]["val/loss"]) == 0.5
+    # memory stays bounded: flushed rows are not retained
+    assert len(lg._pending) == 0 and lg._written == 121
+
+
+def test_rank_zero_logging_gate_is_lazy():
+    """get_logger must not touch the jax backend; the gate reacts to
+    set_logging_process_index (called after jax.distributed init)."""
+    import logging
+
+    from satflow_tpu.core.utils import get_logger, set_logging_process_index
+
+    logger = get_logger("satflow_tpu.test_rank_gate")
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture()
+    logger.addHandler(h)
+    try:
+        logger.info("rank0-visible")
+        set_logging_process_index(3)
+        logger.info("rank3-hidden")
+        set_logging_process_index(0)
+        logger.info("rank0-again")
+    finally:
+        logger.removeHandler(h)
+        set_logging_process_index(0)
+    assert records == ["rank0-visible", "rank0-again"]
