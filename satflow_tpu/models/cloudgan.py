@@ -159,7 +159,12 @@ class CloudGAN(GANBase):
     def disc_input(self, x, y):
         if self.condition_time:
             # per-timestep mode: score each frame independently — fold frames
-            # into the batch (cloudgan.py:153-181 loop, vectorized)
+            # into the batch (cloudgan.py:153-181 loop, vectorized). NOTE:
+            # like the reference, the discriminator sees ONLY the candidate
+            # frame here — the input-conditioning is commented out upstream
+            # (reference cloudgan.py:145-146 "# x = self.ct.forward(images,
+            # i)"), so the per-frame GAN term is unconditional by design;
+            # use condition_time=False for the conditioned objective.
             b, t, h, w, c = y.shape
             return y.reshape(b * t, h, w, c)
         # all-timestep mode: concat(input stack, candidate stack) on channels

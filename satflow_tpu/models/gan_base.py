@@ -98,9 +98,13 @@ class GANBase(BaseModel):
         y_hat, new_g_state = self.generate(
             {"params": g_params, **g_state}, x, rng, train=True
         )
-        # discriminator runs in eval mode for the generator objective
+        # The discriminator scores fakes in TRAIN mode (batch-stats
+        # normalization) so G optimizes against the same function D trains
+        # with — the reference's Lightning module stays in train mode for the
+        # G step (reference pix2pix.py:128-150). Its state updates are
+        # DISCARDED: only the D optimizer's own step advances running stats.
         score, _ = self.discriminate(
-            {"params": d_params, **d_state}, self.disc_input(x, y_hat), train=False
+            {"params": d_params, **d_state}, self.disc_input(x, y_hat), train=True
         )
         adv = self.adv_loss(score, True)
         recon = self.criterion(y_hat, y)

@@ -217,7 +217,7 @@ class Perceiver(BaseModel):
         weight_tie_layers: bool = False,
         decoder_ff: bool = True,
         dim: int = 32,
-        logits_dim: int = 100,
+        logits_dim: Optional[int] = None,
         queries_dim: int = 32,
         latent_dim_heads: int = 64,
         loss: str = "mse",
@@ -258,6 +258,18 @@ class Perceiver(BaseModel):
         self.weight_tie_layers = weight_tie_layers
         self.decoder_ff = decoder_ff
         self.dim = dim
+        # The decode reshapes logits to (..., output_channels), so the final
+        # projection width is DERIVED (the reference configs all set
+        # logits_dim: null and let the wrapper derive it the same way,
+        # reference configs/model/perceiver.yaml:18). Reject a conflicting
+        # explicit value instead of silently ignoring it.
+        if logits_dim is not None and logits_dim != sat_channels:
+            raise ValueError(
+                f"logits_dim={logits_dim} conflicts with the derived output "
+                f"width ({sat_channels} = sat_channels = output channels); "
+                "leave it null/None (the reference configs do) or match it"
+            )
+        self.logits_dim = logits_dim
         self.queries_dim = queries_dim
         self.latent_dim_heads = latent_dim_heads
         self.sin_only = sin_only

@@ -37,9 +37,8 @@ def avg_pool2(x: jax.Array) -> jax.Array:
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
-def upsample2(x: jax.Array) -> jax.Array:
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+# 2x nearest-neighbor upsample — one definition for the whole nn package
+from satflow_tpu.nn.unet_blocks import upsample2  # noqa: F401,E402
 
 
 class GBlock(nn.Module):

@@ -62,6 +62,9 @@ class SpectralNorm(nn.Module):
             )
             u = u_var.value
             steps = self.n_steps
+        # at least one iteration: v is defined below the loop, and 0-step
+        # spectral norm (sigma from a stale u, no v) isn't a meaningful mode
+        steps = max(steps, 1)
         for _ in range(steps):
             v = _l2_normalize(w @ u, self.eps)
             u = _l2_normalize(w.T @ v, self.eps)
@@ -120,7 +123,9 @@ class SNConv(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-            y = y + bias
+            # bias params stay f32; cast to the compute dtype so the add
+            # doesn't promote the whole activation back to f32 under bf16
+            y = y + (bias.astype(self.dtype) if self.dtype else bias)
         return y
 
 
@@ -139,9 +144,12 @@ class SNDense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
         kernel_bar = SpectralNorm(n_steps=self.n_steps, stateless=self.stateless, name="sn")(kernel)
+        if self.dtype:
+            x, kernel_bar = x.astype(self.dtype), kernel_bar.astype(self.dtype)
         y = x @ kernel_bar
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + (bias.astype(self.dtype) if self.dtype else bias)
         return y
 
 

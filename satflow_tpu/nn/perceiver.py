@@ -113,7 +113,6 @@ class MHAttention(nn.Module):
     @nn.compact
     def __call__(self, q_in: jax.Array, kv_in: jax.Array) -> jax.Array:
         out_dim = self.out_features or q_in.shape[-1]
-        inner = self.heads * self.dim_head
         q = nn.DenseGeneral((self.heads, self.dim_head), axis=-1,
                             use_bias=self.qkv_bias,
                             dtype=self.dtype, name="to_q")(q_in)

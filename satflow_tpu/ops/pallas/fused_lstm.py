@@ -133,8 +133,12 @@ def _fwd(gates, c, use_pallas):
 
 
 def _bwd(use_pallas, residuals, cotangents):
-    gates, c, c_next = residuals
-    dh, dc_next = cotangents
+    out_dtype = residuals[0].dtype
+    # Gate chain in f32 regardless of storage dtype: the forward kernel (and
+    # the sibling fused_convlstm _gate_bwd_math) upcast too — in bf16 the
+    # (1 - tanh^2) terms quantize to zero near saturation and gradients die.
+    gates, c, c_next = (t.astype(jnp.float32) for t in residuals)
+    dh, dc_next = (t.astype(jnp.float32) for t in cotangents)
     i, f, o, g = jnp.split(gates, 4, axis=-1)
     si, sf, so = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
     tg = jnp.tanh(g)
@@ -153,7 +157,7 @@ def _bwd(use_pallas, residuals, cotangents):
     do = dso * so * (1.0 - so)
     dg = dtg * (1.0 - tg * tg)
     dgates = jnp.concatenate([di, df, do, dg], axis=-1)
-    return dgates, dc
+    return dgates.astype(out_dtype), dc.astype(out_dtype)
 
 
 fused_lstm_gates.defvjp(_fwd, _bwd)

@@ -128,20 +128,24 @@ def ms_ssim(
     w = jnp.asarray(weights, dtype=jnp.float32)
     w = w / jnp.sum(w)
 
-    reduce_axes = (0, 1, 2) if per_channel else None
+    # Per-SAMPLE (and per-channel) values through every level, geometric
+    # product per sample, batch mean LAST — pytorch_msssim's order. Averaging
+    # the batch before the product (the old order) diverges for batch > 1:
+    # prod(mean_b(cs)) != mean_b(prod(cs)) by Jensen's inequality.
     vals = []
     for i in range(levels):
         ssim_map, cs_map = _ssim_components(x, y, window, data_range)
         if i < levels - 1:
-            vals.append(jax.nn.relu(jnp.mean(cs_map, axis=reduce_axes)))
+            vals.append(jax.nn.relu(jnp.mean(cs_map, axis=(1, 2))))  # (B, C)
             x = _avg_pool2(x)
             y = _avg_pool2(y)
         else:
-            vals.append(jax.nn.relu(jnp.mean(ssim_map, axis=reduce_axes)))
-    stack = jnp.stack(vals)  # (levels,) or (levels, C)
+            vals.append(jax.nn.relu(jnp.mean(ssim_map, axis=(1, 2))))
+    stack = jnp.stack(vals)  # (levels, B, C)
+    per_sample = jnp.prod(stack ** w[:, None, None], axis=0)  # (B, C)
     if per_channel:
-        return jnp.prod(stack ** w[:, None], axis=0)
-    return jnp.prod(stack**w)
+        return jnp.mean(per_sample, axis=0)
+    return jnp.mean(per_sample)
 
 
 def _clamp_win(win_size: int, min_dim: int) -> int:

@@ -261,6 +261,24 @@ class TestLosses:
         big = jnp.tile(x, (1, 4, 4, 1))  # 64px: exercises the level clamp
         assert float(ms_ssim(big, big)) == pytest.approx(1.0, abs=1e-4)
 
+    def test_ms_ssim_is_per_sample_then_mean(self, rng):
+        """pytorch_msssim order: per-sample weighted geometric product, batch
+        mean LAST — so a batch score equals the mean of its samples' scores
+        (the pre-fix order averaged the batch before the product and violated
+        this for any batch with heterogeneous samples)."""
+        from satflow_tpu.ops.ssim import ms_ssim
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        a = jax.random.uniform(k1, (1, 64, 64, 2))
+        b = jnp.clip(a + 0.4 * jax.random.normal(k2, a.shape), 0, 1)
+        ya = jnp.clip(a + 0.02 * jax.random.normal(k3, a.shape), 0, 1)
+        batch_x = jnp.concatenate([a, b], axis=0)
+        batch_y = jnp.concatenate([ya, b], axis=0)
+        per_sample_mean = 0.5 * (float(ms_ssim(a, ya)) + float(ms_ssim(b, b)))
+        assert float(ms_ssim(batch_x, batch_y)) == pytest.approx(
+            per_sample_mean, abs=1e-5
+        )
+
     def test_ssim_loss_orders_degradation(self, rng):
         x = jax.random.uniform(rng, (2, 32, 32, 1))
         noisy_small = x + 0.01 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
