@@ -54,27 +54,42 @@ def run_baseline(
             break
         past = np.asarray(x[consts.SATELLITE_DATA])  # (B, T, H, W, C)
         future = np.asarray(y[consts.SATELLITE_DATA])  # (B, F, H, W, C)
-        steps = min(forecast_steps, future.shape[1])
         b, _, h, w, c = past.shape
         if total_flow is None:
+            # accumulator geometry is fixed by the FIRST batch; later batches
+            # accumulate the same number of lead times (min with their own F)
+            steps = min(forecast_steps, future.shape[1])
             total_flow = np.zeros((c, steps), dtype=np.float64)
             total_persist = np.zeros((c, steps), dtype=np.float64)
+        steps = min(steps, future.shape[1])
+        if steps < total_flow.shape[1]:
+            raise ValueError(
+                f"batch {bi} has only {future.shape[1]} future frames; the "
+                f"study accumulates {total_flow.shape[1]} lead times (set "
+                "forecast_steps to the dataset minimum)"
+            )
+
+        def _solve_flow(prev2d, curr2d):
+            if flow_method == "farneback":
+                return farneback_flow(truth_dtype(prev2d), truth_dtype(curr2d))
+            return np.asarray(
+                horn_schunck_flow(jnp.asarray(prev2d), jnp.asarray(curr2d))
+            )
 
         for sample in range(b):
             prev_f = past[sample, -2]
             curr_f = past[sample, -1]
             truth = future[sample, :steps]  # (F, H, W, C)
+            # flow_channel mode (the reference's compute-on-HRV-apply-to-all,
+            # baseline/README.md:18-22): ONE flow solve per sample, not per
+            # channel — the field is identical across the channel loop
+            shared_flow = (
+                _solve_flow(prev_f[..., flow_channel], curr_f[..., flow_channel])
+                if flow_channel is not None else None
+            )
             for ch in range(c):
-                fc = ch if flow_channel is None else flow_channel
-                if flow_method == "farneback":
-                    flow = farneback_flow(truth_dtype(prev_f[..., fc]),
-                                          truth_dtype(curr_f[..., fc]))
-                else:
-                    flow = np.asarray(
-                        horn_schunck_flow(
-                            jnp.asarray(prev_f[..., fc]), jnp.asarray(curr_f[..., fc])
-                        )
-                    )
+                flow = (shared_flow if shared_flow is not None
+                        else _solve_flow(prev_f[..., ch], curr_f[..., ch]))
                 warped = np.asarray(
                     rollout_warp(jnp.asarray(curr_f[..., ch]), jnp.asarray(flow), steps)
                 )  # (steps, H, W)
@@ -86,6 +101,11 @@ def run_baseline(
                 )
             count += 1
 
+    if total_flow is None:
+        raise ValueError(
+            "run_baseline got an empty dataset (or max_batches=0) — "
+            "nothing to score"
+        )
     flow_loss = total_flow / max(count, 1)
     persist_loss = total_persist / max(count, 1)
     results = {

@@ -72,7 +72,10 @@ def evaluate_model(
             sums[k] = sums.get(k, 0.0) + np.asarray(v)
         count += 1
 
-    results = {k: v / max(count, 1) for k, v in sums.items()}
+    if not count:
+        raise ValueError("evaluate_model got an empty dataset (or "
+                         "max_batches=0) — nothing to score")
+    results = {k: v / count for k, v in sums.items()}
     results["mse_mean"] = float(results["mse"].mean())
     results["ssim_mean"] = float(results["ssim"].mean())
     if compute_ms_ssim:

@@ -97,7 +97,10 @@ def evaluate_ensemble(
             sums[k] = sums.get(k, 0.0) + np.asarray(v)
         count += 1
 
-    results = {k: v / max(count, 1) for k, v in sums.items()}
+    if not count:
+        raise ValueError("evaluate_ensemble got an empty dataset (or "
+                         "max_batches=0) — nothing to score")
+    results = {k: v / count for k, v in sums.items()}
     results["crps_mean"] = float(np.mean(results["crps"]))
     results["mse_mean"] = float(np.mean(results["mse"]))
     results["sample_std"] = float(results["sample_std"])

@@ -181,7 +181,7 @@ class TPESampler:
         return choices[int(cand[int(np.argmax(score))])]
 
 
-def sweep(config: Dict[str, Any], argv: Optional[List[str]] = None) -> float:
+def sweep(config: Dict[str, Any]) -> float:
     from satflow_tpu.experiments.train import train
 
     search = config.get("hparams_search", {})

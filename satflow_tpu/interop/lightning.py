@@ -26,11 +26,11 @@ def register_converter(name: str):
 
 
 def _default_converters():
-    if _CONVERTERS:
-        return
+    # setdefault, not a truthiness early-return: a user-registered custom
+    # converter must not suppress the built-ins for OTHER model names
     from satflow_tpu.interop.torch_weights import load_torch_convlstm
 
-    _CONVERTERS["encoderdecoderconvlstm"] = load_torch_convlstm
+    _CONVERTERS.setdefault("encoderdecoderconvlstm", load_torch_convlstm)
 
 
 def load_lightning_checkpoint(

@@ -44,6 +44,15 @@ def maybe_initialize_distributed(
         or os.environ.get("TPU_WORKER_HOSTNAMES")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
+    if (coordinator_address and num_processes and num_processes > 1
+            and process_id is None):
+        # defaulting the rank would make EVERY host claim process 0: the
+        # coordinator binds, the rest fail and (without this guard) would be
+        # silently demoted to disconnected single-host runs
+        raise ValueError(
+            "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set but "
+            "JAX_PROCESS_ID is missing — each host needs its unique rank"
+        )
     try:
         if coordinator_address and num_processes:
             jax.distributed.initialize(

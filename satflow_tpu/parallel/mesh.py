@@ -127,7 +127,29 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
+            if x.ndim > 0 and x.shape[0] > 1:
+                # numerically fine but every device computes the FULL batch:
+                # indistinguishable from healthy DP in the logs, so say it
+                _warn_indivisible_once(x.shape[0], mesh.shape["data"])
             return put_global(x, rep_sh)
         return put_global(x, data_sh)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+_WARNED_INDIVISIBLE = set()
+
+
+def _warn_indivisible_once(batch_dim: int, data_axis: int) -> None:
+    key = (batch_dim, data_axis)
+    if key in _WARNED_INDIVISIBLE:
+        return
+    _WARNED_INDIVISIBLE.add(key)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "batch dim %d is not divisible by the data axis (%d): the leaf is "
+        "REPLICATED — every device computes the full batch, i.e. no DP "
+        "speedup. Pick a batch size divisible by %d.",
+        batch_dim, data_axis, data_axis,
+    )

@@ -53,12 +53,22 @@ def apply_zero_sharding(state, mesh: Optional[Mesh] = None, shard_params: bool =
     mesh = mesh or get_mesh()
     rep = NamedSharding(mesh, P())
 
+    def put(x, sh):
+        # multi-host meshes are not fully addressable from one process:
+        # raw device_put raises there — contribute local shards instead
+        # (the same idiom as mesh.put_global)
+        if sh.is_fully_addressable:
+            return jax.device_put(x, sh)
+        from satflow_tpu.parallel.mesh import put_global
+
+        return put_global(jax.device_get(x), sh)
+
     def put_rep(t):
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+        return jax.tree_util.tree_map(lambda x: put(x, rep), t)
 
     def put_sharded(t):
         sh = tree_shardings(t, mesh)
-        return jax.tree_util.tree_map(jax.device_put, t, sh)
+        return jax.tree_util.tree_map(put, t, sh)
 
     updates: dict = {"model_state": put_rep(state.model_state)}
     if hasattr(state, "opt_state"):

@@ -49,7 +49,8 @@ def main(argv: Optional[List[str]] = None) -> Optional[float]:
     if multirun and config.get("hparams_search"):
         from satflow_tpu.experiments.sweep import sweep
 
-        return sweep(config, argv)
+        # CLI overrides are already baked into config by compose() above
+        return sweep(config)
 
     from satflow_tpu.experiments.train import train
 

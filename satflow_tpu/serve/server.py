@@ -115,10 +115,18 @@ def _make_handler(server: NowcastServer):
             try:
                 # parse phase: OSError/EOFError here come from the client's
                 # body bytes and ARE client faults (400)
-                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    n = -1  # malformed header: body size unknown
                 if not 0 < n <= _MAX_BODY:
-                    self.close_connection = True  # body left unread
-                    raise ValueError(f"bad Content-Length {n}")
+                    # body left unread — a kept-alive peer would see its own
+                    # body bytes parsed as the next request line
+                    self.close_connection = True
+                    raise ValueError(
+                        f"bad Content-Length "
+                        f"{self.headers.get('Content-Length')!r}"
+                    )
                 raw = self.rfile.read(n)
                 x = np.load(io.BytesIO(raw), allow_pickle=False)
                 if x.ndim not in (4, 5):

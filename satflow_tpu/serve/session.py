@@ -226,13 +226,16 @@ class InferenceSession:
 
 
 class _Pending:
-    __slots__ = ("x", "event", "result", "error")
+    __slots__ = ("x", "event", "result", "error", "abandoned")
 
     def __init__(self, x: np.ndarray):
         self.x = x
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        # set by submit() on timeout: the caller is gone, don't burn a
+        # forward on it (load shedding under sustained overload)
+        self.abandoned = False
 
 
 class MicroBatcher:
@@ -285,6 +288,7 @@ class MicroBatcher:
             p.error = p.error or RuntimeError("MicroBatcher closed")
             p.event.set()
         if not p.event.wait(timeout):
+            p.abandoned = True
             raise TimeoutError("inference request timed out")
         if p.error is not None:
             raise p.error
@@ -315,6 +319,12 @@ class MicroBatcher:
     def _run(self) -> None:
         while not self._stop.is_set():
             group = self._collect()
+            if not group:
+                continue
+            # shed requests whose submit() already timed out: under sustained
+            # overload the backlog is full of abandoned work, and spending
+            # forwards on it starves the live requests into timing out too
+            group = [p for p in group if not p.abandoned]
             if not group:
                 continue
             # one forward per distinct sample shape: a misshapen request must
