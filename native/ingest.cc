@@ -65,18 +65,25 @@ bool parse_batch(Batch* b) {
     return false;
   }
   b->entries.resize(n);
+  // All bounds checks compare LENGTHS against the remaining bytes, never
+  // `p + len > end`: a corrupt/truncated file (e.g. a failed remote fetch)
+  // could carry a byte_len near UINT64_MAX, and pointer-advance overflow is
+  // UB that can skip the check entirely.
   for (uint32_t i = 0; i < n; ++i) {
     Entry& e = b->entries[i];
-    if (p + 2 > end) return false;
+    size_t remain = static_cast<size_t>(end - p);
+    if (remain < 2) return false;
     uint16_t name_len;
     std::memcpy(&name_len, p, 2);
     p += 2;
-    if (p + name_len + 2 > end) return false;
+    remain -= 2;
+    if (remain < static_cast<size_t>(name_len) + 2) return false;
     e.name.assign(reinterpret_cast<const char*>(p), name_len);
     p += name_len;
     e.dtype = *p++;
     e.ndim = *p++;
-    if (e.ndim > 16 || p + 4ull * e.ndim + 8 > end) return false;
+    remain -= static_cast<size_t>(name_len) + 2;
+    if (e.ndim > 16 || remain < 4ull * e.ndim + 8) return false;
     std::memcpy(e.dims, p, 4ull * e.ndim);
     p += 4ull * e.ndim;
     std::memcpy(&e.byte_len, p, 8);
@@ -84,8 +91,9 @@ bool parse_batch(Batch* b) {
     // align to 8 relative to file start
     size_t off = static_cast<size_t>(p - b->raw.data());
     size_t aligned = (off + 7) & ~size_t(7);
+    if (aligned > b->raw.size()) return false;
     p = b->raw.data() + aligned;
-    if (p + e.byte_len > end) return false;
+    if (e.byte_len > static_cast<uint64_t>(end - p)) return false;
     e.data = p;
     p += e.byte_len;
   }

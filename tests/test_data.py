@@ -276,3 +276,41 @@ def test_missing_configuration_file_raises(tmp_path):
             fake_data=True, num_workers=0, shard=False,
             configuration_filename=str(tmp_path / "nope.yaml"),
         )
+
+
+def test_sfb_corrupt_files_error_cleanly(tmp_path):
+    """Truncated/forged .sfb files (e.g. a failed remote fetch) must surface
+    a clean ingest error — never crash or read out of bounds (the parser
+    length-checks against remaining bytes, not pointer arithmetic)."""
+    import struct
+
+    from satflow_tpu.data.native_ingest import (
+        NativeSfbLoader,
+        native_available,
+        write_sfb,
+    )
+
+    if not native_available(auto_build=True):
+        pytest.skip("native ingest library not built (no g++)")
+
+    good = str(tmp_path / "batch_0.sfb")
+    write_sfb(good, {"sat_data": np.zeros((2, 4, 4, 1), np.float32)})
+    raw = open(good, "rb").read()
+
+    truncated = str(tmp_path / "batch_1.sfb")
+    open(truncated, "wb").write(raw[: len(raw) // 2])
+
+    # forge a huge byte_len in the first entry header: magic(8) + n(4) +
+    # name_len(2) + name + dtype(1) + ndim(1) + dims(4*ndim) -> byte_len u64
+    name_len = struct.unpack_from("<H", raw, 12)[0]
+    ndim_off = 12 + 2 + name_len + 1
+    ndim = raw[ndim_off]
+    blen_off = ndim_off + 1 + 4 * ndim
+    forged = bytearray(raw)
+    struct.pack_into("<Q", forged, blen_off, 2**63)
+    overflow = str(tmp_path / "batch_2.sfb")
+    open(overflow, "wb").write(bytes(forged))
+
+    for bad in (truncated, overflow):
+        with pytest.raises(OSError, match="native ingest error"):
+            list(NativeSfbLoader([bad], num_threads=1))
