@@ -50,6 +50,12 @@ def main(arms=None):
     import satflow_tpu.models  # noqa: F401
 
     arms = set(arms or ALL_ARMS)
+    unknown = arms - set(ALL_ARMS)
+    if unknown:
+        # a typo'd arm must not silently skip hours of intended training
+        raise SystemExit(
+            f"unknown --arms {sorted(unknown)}; valid: {list(ALL_ARMS)}"
+        )
     setup_compilation_cache()
     eval_ds = DecayingAdvectionDataset(length=3, seed=300, **DS_KW)
 

@@ -45,7 +45,6 @@ def main():
         (1024, 64, 128),
         (2048, 256, 64),
     ]
-    out = []
     for n, L, d in shapes:
         ks = jax.random.split(rng, 3)
         q = jax.random.normal(ks[0], (n, L, d), jnp.bfloat16)
@@ -56,7 +55,6 @@ def main():
         rec = {"N": n, "L": L, "d": d, "xla_ms": round(xla_ms, 3),
                "pallas_ms": round(pallas_ms, 3),
                "speedup": round(xla_ms / pallas_ms, 3)}
-        out.append(rec)
         print(json.dumps(rec))
 
 

@@ -145,10 +145,31 @@ def bench_from_store(args):
 
     seq = args.history + args.steps
     store = os.path.join(args.from_store, "train")
-    if not os.path.isdir(store) or not any(
-        f.endswith(".sfb") for f in os.listdir(store)
-    ):
+
+    def _store_matches() -> bool:
+        """Reuse the store only when its geometry matches the flags — a
+        stale store of another batch/size would be silently benchmarked
+        under the wrong label (and frames/s computed from the wrong batch)."""
+        if not os.path.isdir(store):
+            return False
+        try:
+            from satflow_tpu.data.datasets import SfbBatchStore
+
+            s = SfbBatchStore(store)
+            if len(s) < 1:
+                return False
+            sat = s.read(0)["sat_data"]
+            return sat.shape == (args.batch, seq, args.size, args.size,
+                                 args.channels)
+        except Exception:  # noqa: BLE001 - unreadable == rebuild
+            return False
+
+    if not _store_matches():
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
         npz = os.path.join(args.from_store, "_npz")
+        shutil.rmtree(npz, ignore_errors=True)
         write_fake_store(npz, n_batches=args.store_batches,
                          batch_size=args.batch, size=args.size,
                          seq_length=seq, sat_channels=args.channels)
@@ -221,7 +242,9 @@ def bench_from_store(args):
             if t0 is None:
                 t0 = time.perf_counter()  # start after the first (warm) batch
             else:
-                frames += args.batch * args.steps
+                # count from the ACTUAL batch, not the flag (a store batch
+                # is authoritative for what the chip processed)
+                frames += batch[0]["sat_data"].shape[0] * args.steps
     float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
     print(_json.dumps({

@@ -42,7 +42,11 @@ def main():
         "encoderdecoderconvlstm", input_channels=args.channels,
         out_channels=args.channels, forecast_steps=args.steps,
         hidden_dim=args.hidden, cell_impl="fused",
-        remat=False, remat_chunk=args.remat_chunk,
+        # remat must be ON for remat_chunk to take effect (conv_lstm.py gates
+        # chunked remat on `self.remat and remat_chunk > 1`); remat=False
+        # with a chunk would silently measure the un-remat'ed program while
+        # labeling it chunk=N
+        remat=args.remat_chunk > 0, remat_chunk=args.remat_chunk,
         dtype=jnp.bfloat16, lr=1e-3,
     )
     rng = jax.random.PRNGKey(0)

@@ -51,6 +51,13 @@ ALL_ARMS = ("cloudgan", "pix2pix", "dgmr")
 def main(arms=None):
     import jax
 
+    unknown = set(arms or ()) - set(ALL_ARMS)
+    if unknown:
+        # a typo'd arm must not silently skip hours of intended training
+        raise SystemExit(
+            f"unknown --arms {sorted(unknown)}; valid: {list(ALL_ARMS)}"
+        )
+
     from satflow_tpu.baseline.optical_flow import run_baseline
     from satflow_tpu.core.registry import create_model
     from satflow_tpu.core.utils import setup_compilation_cache
@@ -460,8 +467,10 @@ def _write_md(r):
         )
     lines.append("")
     path = "docs/ACCURACY.md"
-    with open(path) as f:
-        doc = f.read()
+    doc = ""
+    if os.path.exists(path):  # fresh workspace: create the doc
+        with open(path) as f:
+            doc = f.read()
     if _MARKER in doc:
         doc = doc[: doc.index(_MARKER)]
     with open(path, "w") as f:
