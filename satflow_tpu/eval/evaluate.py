@@ -108,7 +108,15 @@ def main():  # pragma: no cover - CLI convenience
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--channels", type=int, default=12)
+    p.add_argument("--history-minutes", type=int, default=30,
+                   help="past-window length; MUST match the checkpoint's "
+                        "training history for models whose params bake in "
+                        "the context length (DGMR's conditioning stack)")
     p.add_argument("--output", default="eval_out")
+    p.add_argument("--ensemble", type=int, default=0, metavar="M",
+                   help="for sampling models (DGMR): draw M Monte-Carlo "
+                        "samples per forecast and report ensemble CRPS + "
+                        "spread instead of the deterministic curves")
     args = p.parse_args()
 
     model = create_model(f"local:{args.checkpoint}")
@@ -116,10 +124,31 @@ def main():  # pragma: no cover - CLI convenience
     ds = ds_cls(
         batch_size=4, width=args.size, height=args.size,
         number_sat_channels=args.channels,
+        history_minutes=args.history_minutes,
         forecast_minutes=model.forecast_steps * 5, length=args.batches,
     )
-    results = evaluate_model(model, model.restored_variables, ds, args.batches)
-    save_results(results, args.output)
+    if args.ensemble:
+        from satflow_tpu.eval.probabilistic import evaluate_ensemble
+
+        variables = model.restored_variables
+        if "generator" in (variables.get("params") or {}):
+            # GAN checkpoints carry both networks; sampling needs the
+            # generator subtree (same extraction as serve/session.py)
+            variables = {"params": variables["params"]["generator"],
+                         **(variables.get("g") or {})}
+        results = evaluate_ensemble(
+            model, variables, ds, max_batches=args.batches,
+            num_samples=args.ensemble,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        for k in ("crps", "mse"):
+            np.save(os.path.join(args.output, f"{k}.npy"),
+                    np.asarray(results[k]))
+    else:
+        results = evaluate_model(
+            model, model.restored_variables, ds, args.batches
+        )
+        save_results(results, args.output)
     print(json.dumps({k: v for k, v in results.items() if not isinstance(v, np.ndarray)}))
 
 

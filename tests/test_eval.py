@@ -112,3 +112,48 @@ def test_crps_rewards_calibrated_sampler_on_stochastic_futures():
 
     o, c, p = map(np.mean, (crps_oracle, crps_collapsed, crps_persist))
     assert o < c < p, f"oracle {o:.5f} < collapsed {c:.5f} < persistence {p:.5f}"
+
+
+def test_ensemble_eval_cli_on_gan_checkpoint(tmp_path, rng, monkeypatch, capsys):
+    """`python -m satflow_tpu.eval.evaluate --ensemble M` on a DGMR
+    checkpoint: extracts the generator subtree from the dual-network
+    checkpoint layout and reports CRPS/spread curves."""
+    import json
+    import sys
+
+    import optax
+
+    from satflow_tpu.data.fake import FakeDataset
+    from satflow_tpu.eval.evaluate import main as eval_main
+    from satflow_tpu.train.checkpoint import save_checkpoint
+    from satflow_tpu.train.state import GANTrainState
+
+    model = create_model(
+        "nowcastinggan", forecast_steps=2, input_channels=1, output_shape=32,
+        context_channels=16, latent_channels=32, disc_channels=4,
+        disc_spatial_layers=2, disc_temporal_layers=1, num_samples=2,
+    )
+    ds = FakeDataset(batch_size=1, width=32, height=32,
+                     number_sat_channels=1, history_minutes=15,
+                     forecast_minutes=10, length=1)
+    g_vars, d_vars = model.init_gan_variables(rng, ds[0])
+    g_params, g_state = model.split_variables(g_vars)
+    d_params, d_state = model.split_variables(d_vars)
+    g_tx, d_tx = model.make_optimizers()
+    state = GANTrainState.create(
+        g_params, d_params, {"g": g_state, "d": d_state}, g_tx, d_tx)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, state, model)
+
+    out = str(tmp_path / "eval")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate", "--checkpoint", ckpt, "--dataset", "fake",
+        "--batches", "1", "--size", "32", "--channels", "1",
+        "--history-minutes", "15", "--output", out, "--ensemble", "2",
+    ])
+    eval_main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(summary["crps_mean"]) and np.isfinite(summary["mse_mean"])
+    assert "sample_std" in summary
+    crps = np.load(f"{out}/crps.npy")
+    assert crps.shape == (2,) and np.isfinite(crps).all()
