@@ -288,3 +288,15 @@ def test_dgmr_study_artifact_quality():
     assert s["mse"] < r["persistence@stochastic"]["mse"]
     assert r["oracle_crps"] < s["crps"]  # the documented diversity gap
     assert len(s["trajectory"]) >= 10  # the selection curve is in the artifact
+    # Fair-CRPS fine-tune (train/probabilistic.py): the proper-score
+    # fine-tune must improve CRPS over the selected checkpoint, keep the
+    # mean-MSE win, and RESTORE sample diversity — the measured answer to
+    # the accuracy-vs-diversity gap (std back to a meaningful fraction of
+    # the oracle's spread from ~1e-5 collapse)
+    ft = r["dgmr_crps_finetuned"]
+    assert ft["crps"] < s["crps"]
+    assert ft["mse"] < r["persistence@stochastic"]["mse"]
+    assert ft["sample_std"] > 50 * s["sample_std"]
+    assert ft["sample_std"] > 0.1 * r["oracle_sample_std"]
+    assert len(ft["fair_crps_history"]) >= 3
+    assert ft["fair_crps_history"][-1] < ft["fair_crps_history"][0]
