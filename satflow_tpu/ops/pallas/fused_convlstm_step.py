@@ -30,6 +30,7 @@ dense conv tilings (see ``_bwd`` below).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -46,6 +47,30 @@ except Exception:  # pragma: no cover
 # test hook: run the kernel in the Pallas interpreter (validates the kernel
 # body on CPU without a TPU compile)
 _INTERPRET = False
+
+
+# Scoped-VMEM limit passed to every kernel in this module. Mosaic's compiler
+# default (~16 MiB) is a fraction of a v5e core's 128 MiB; raising it to
+# 64 MiB unlocks 4x-taller row blocks, measured faster at 256px (bh=8 20.52 ->
+# bh=32 19.98 ms/step; bh=64 does not fit even at 99 MiB — tools/
+# exp_vmem_block.py, docs/DESIGN.md). SATFLOW_VMEM_LIMIT_BYTES overrides;
+# "0" restores the compiler default (and with it the r2 block picks).
+_DEFAULT_VMEM_LIMIT = 64 * 1024 * 1024
+_MOSAIC_DEFAULT_LIMIT = 16 * 1024 * 1024
+
+
+def _vmem_limit() -> Optional[int]:
+    env = os.environ.get("SATFLOW_VMEM_LIMIT_BYTES")
+    if env is not None:
+        return int(env) or None
+    return _DEFAULT_VMEM_LIMIT
+
+
+def _compiler_params() -> "pltpu.CompilerParams":
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_vmem_limit(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +312,7 @@ def _step_pallas_halo(x, h, c, wx, wh, b, block_h: int = 8):
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(xp, x_halo, hp, h_halo, c, w3, b2)
     return h_next, c_next
@@ -322,9 +345,19 @@ def _pick_block_h(height: int, width: int, cx: int, ch: int,
     byte footprint at the proven budget: fewer grid steps, fatter matmuls
     (64px bf16: bh=32 measures 1.059 vs 1.118 ms/step on v5e, +5.6%;
     128px/64ch bf16 gets bh=16, measured correct; f32 halves the rows)."""
+    if requested is None:
+        env = os.environ.get("SATFLOW_BLOCK_H")
+        if env:
+            requested = int(env)  # tuning override (tools/exp_vmem_block.py)
     if requested is not None:
         return _normalize_block_h(height, requested)
-    budget = 2048 * 384 * 2  # bytes: the proven bf16 bh=8 production config
+    budget = 2048 * 384 * 2  # bytes: the proven bf16 bh=8 config at the
+    # Mosaic-default 16 MiB scoped limit; scale linearly with the raised
+    # limit (64 MiB default -> 4x, i.e. bh=32 at 256px/64ch bf16 — measured
+    # faster, see _DEFAULT_VMEM_LIMIT above)
+    limit = _vmem_limit()
+    if limit:
+        budget *= max(1, limit // _MOSAIC_DEFAULT_LIMIT)
     k = 3 * (cx + ch)
     bh = max(1, min(32, budget // max(width * k * itemsize, 1)))
     bh = 1 << (bh.bit_length() - 1)  # power of two for clean halving
@@ -387,9 +420,7 @@ def _step_pallas(x, h, c, wx, wh, b, block_h=None):
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(xp, xp, xp, hp, hp, hp, c, w3, b2)
     return h_next, c_next
@@ -461,9 +492,7 @@ def _step_pallas_padded(xp, hp, c, wx, wh, b, block_h=None,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(xp, xp, xp, hp, hp, hp, c, w3, b2)
     return out if emit_gates else (out[0], out[1])
@@ -862,9 +891,7 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
             jax.ShapeDtypeStruct((bsz, height, width, 4 * ch), x.dtype),
             jax.ShapeDtypeStruct((bsz, height, width, ch), x.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(xp, xp, xp, hp, hp, hp, c, w3, b2, dh_next, dc_next)
     return dgates, dc_prev
