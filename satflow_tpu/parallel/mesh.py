@@ -27,6 +27,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _GLOBAL_MESH: Optional[Mesh] = None
+# When the trainer runs in spatial (DxM) mode, batches must arrive in HBM with
+# H already sharded over the model axis — otherwise every train step pays an
+# XLA SPMD "involuntary full rematerialization" (replicate-then-reshard) at
+# the shard_map boundary. Bound together with the mesh by mesh_scope.
+_SPATIAL_AXIS: Optional[str] = None
 
 
 def make_mesh(
@@ -59,21 +64,28 @@ def set_mesh(mesh: Mesh) -> None:
 
 
 @contextlib.contextmanager
-def mesh_scope(mesh: Mesh):
+def mesh_scope(mesh: Mesh, spatial_axis: Optional[str] = None):
     """Bind ``mesh`` as the process-global mesh for the duration of a block.
 
     Used by the trainer's spatial mode: the DxM mesh must be the global one
     while its loaders shard batches, but a PERMANENT rebind would silently
     change sharding for every later ``get_mesh()`` consumer in the process
     (e.g. a non-spatial fit after a spatial one would run D-way DP with
-    M-way replication — an M-fold throughput loss with no error)."""
-    global _GLOBAL_MESH
-    prev = _GLOBAL_MESH
+    M-way replication — an M-fold throughput loss with no error).
+
+    ``spatial_axis`` additionally marks the mesh axis over which image-like
+    batch leaves get their H dimension sharded by :func:`shard_batch` inside
+    the scope — the host→HBM placement the spatial shard_map rollout
+    consumes directly (no SPMD reshard at the mesh boundary)."""
+    global _GLOBAL_MESH, _SPATIAL_AXIS
+    prev, prev_sp = _GLOBAL_MESH, _SPATIAL_AXIS
     _GLOBAL_MESH = mesh
+    _SPATIAL_AXIS = spatial_axis
     try:
         yield mesh
     finally:
         _GLOBAL_MESH = prev
+        _SPATIAL_AXIS = prev_sp
 
 
 def batch_sharding(mesh: Optional[Mesh] = None, axis: str = "data") -> NamedSharding:
@@ -112,27 +124,46 @@ def put_replicated(tree, mesh: Optional[Mesh] = None):
     return jax.tree_util.tree_map(lambda x: put_global(x, rep_sh), tree)
 
 
-def shard_batch(batch, mesh: Optional[Mesh] = None):
+def shard_batch(batch, mesh: Optional[Mesh] = None,
+                spatial_axis: Optional[str] = None):
     """Device-put a host batch pytree with dim-0 sharded over ``data``.
 
     This is the host→HBM boundary of the input pipeline (the reference's
     pin_memory + ``.cuda()`` copy, datamodules.py:87-96). Scalars and
     rank-0 leaves are replicated. Works on multi-host meshes: every process
     passes the same global batch and contributes its local shards.
+
+    ``spatial_axis`` (default: the axis bound by ``mesh_scope`` — set by the
+    trainer's ``spatial=DxM`` mode) additionally shards the H dimension of
+    image-like leaves (rank ≥ 4, H at dim ``ndim-3``: (B,T,H,W,C) and
+    (B,H,W,C)) over that mesh axis, so the spatial shard_map rollout reads
+    its rows in place instead of forcing an SPMD replicate-then-reshard of
+    the whole batch at the mesh boundary every step.
     """
     mesh = mesh or get_mesh()
-    data_sh = batch_sharding(mesh)
+    if spatial_axis is None:
+        spatial_axis = _SPATIAL_AXIS
+    if spatial_axis is not None and spatial_axis not in mesh.axis_names:
+        spatial_axis = None
     rep_sh = replicated_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
-            if x.ndim > 0 and x.shape[0] > 1:
-                # numerically fine but every device computes the FULL batch:
-                # indistinguishable from healthy DP in the logs, so say it
-                _warn_indivisible_once(x.shape[0], mesh.shape["data"])
+        batched = x.ndim > 0 and x.shape[0] % mesh.shape["data"] == 0
+        if not batched and x.ndim > 0 and x.shape[0] > 1:
+            # numerically fine but every device computes the FULL batch:
+            # indistinguishable from healthy DP in the logs, so say it
+            _warn_indivisible_once(x.shape[0], mesh.shape["data"])
+        spec = [("data" if batched else None)] + [None] * max(0, x.ndim - 1)
+        if (
+            spatial_axis is not None
+            and x.ndim >= 4
+            and x.shape[x.ndim - 3] % mesh.shape[spatial_axis] == 0
+        ):
+            spec[x.ndim - 3] = spatial_axis
+        if not any(spec):
             return put_global(x, rep_sh)
-        return put_global(x, data_sh)
+        return put_global(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, batch)
 

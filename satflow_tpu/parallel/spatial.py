@@ -182,15 +182,30 @@ def convlstm_spatial_forward(
         raise ValueError(
             f"H={x.shape[2]} must divide by the {axis!r} axis size {n}"
         )
+    # DxM: the batch dim rides the data axis (plain DP) whenever it divides —
+    # otherwise every device would recompute the full batch, an M-fold-masked
+    # D-fold throughput loss. This spec also matches shard_batch's spatial
+    # placement, so the jitted train step consumes loader batches in place
+    # (no SPMD replicate-then-reshard at the shard_map boundary).
+    bspec = (
+        "data"
+        if (
+            "data" in mesh.axis_names
+            and axis != "data"
+            and x.shape[0] % mesh.shape["data"] == 0
+        )
+        else None
+    )
+    spec = P(bspec, None, axis)
     fn = functools.partial(
         _local_rollout, steps=forecast_steps, axis=axis, dtype=dtype
     )
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis)),
-        out_specs=P(None, None, axis),
+        in_specs=(P(), spec),
+        out_specs=spec,
         check_vma=False,  # ppermute-based halos are deliberately non-replicated
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(None, None, axis)))
+    x = jax.device_put(x, NamedSharding(mesh, spec))
     return sharded(params, x)

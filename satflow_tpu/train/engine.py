@@ -145,7 +145,10 @@ class Trainer:
         if self._spatial_mesh is None:
             d_size, m_size = self._parse_spatial()
             self._spatial_mesh = make_mesh([d_size, m_size])
-        return mesh_scope(self._spatial_mesh)
+        # spatial_axis="model": loaders sharding through this scope place H
+        # over the model axis at device_put, so the shard_map rollout reads
+        # batches in place (no per-step SPMD replicate at the mesh boundary).
+        return mesh_scope(self._spatial_mesh, spatial_axis="model")
 
     def fit(self, model, datamodule) -> Dict[str, float]:
         with self._bind_spatial_mesh():
