@@ -1,19 +1,29 @@
 """Beyond-single-chip-HBM evidence for spatial (H-axis) parallelism.
 
-AOT-compiles the SINGLE-chip ConvLSTM train step at a full-disk-scale
-geometry and prints XLA's memory analysis (no execution) — demonstrating the
-geometry exceeds one v5e's 16 GB HBM — then prints the per-shard activation
-arithmetic for the H-sharded equivalent (trainer.spatial), whose correctness
-is gated on the 8-device CPU mesh by
-tests/test_sharding.py::test_spatial_trainer_fit.
+Two modes:
+
+- ``--mode single`` (run on the TPU backend): AOT-compiles the SINGLE-chip
+  ConvLSTM train step at a full-disk-scale geometry and prints XLA's memory
+  analysis (no execution) — demonstrating the geometry exceeds one v5e's
+  16 GB HBM.
+- ``--mode sharded`` (run with JAX_PLATFORMS=cpu
+  XLA_FLAGS=--xla_force_host_platform_device_count=8): AOT-compiles the
+  H-SHARDED spatial train step (`trainer.spatial=1x8` layout: batch over
+  `data`, H over `model` — the post-r3 loader placement, so NO SPMD
+  replicate-then-reshard is in the program) over the 8-device mesh and
+  prints ``compiled.memory_analysis()`` — the COMPILER's per-device bytes,
+  including temp buffers, halo copies, and the scan's saved activations,
+  replacing the r3 (H/8+2)/H activation arithmetic with a measured number.
 
 Usage: python -m tools.exp_spatial_memory [--size 1024 --batch 2 --steps 12]
+       [--mode single|sharded]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main():
@@ -26,9 +36,18 @@ def main():
     p.add_argument("--history", type=int, default=7)
     p.add_argument("--remat-chunk", type=int, default=6)
     p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--data-shards", type=int, default=1)
+    p.add_argument("--mode", choices=["single", "sharded"], default="single")
     args = p.parse_args()
 
     import jax
+
+    # The image's sitecustomize imports jax and registers the TPU backend
+    # before this script runs, so the JAX_PLATFORMS env var alone is too
+    # late — override the already-imported config too (same as conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from satflow_tpu.core.registry import create_model
@@ -38,6 +57,8 @@ def main():
     from satflow_tpu.train.steps import make_train_step
 
     setup_compilation_cache()
+    if args.mode == "sharded":
+        return sharded_aot(args)
     model = create_model(
         "encoderdecoderconvlstm", input_channels=args.channels,
         out_channels=args.channels, forecast_steps=args.steps,
@@ -104,6 +125,83 @@ def main():
         "spatial_shards": args.shards,
         "sharded_activation_fraction": round(act_scale, 4),
         "sharded_est_hbm_gb": round(hbm_gb * act_scale, 2) if hbm_gb else None,
+    }, indent=2))
+
+
+def sharded_aot(args):
+    """AOT-compile the H-sharded spatial train step on a DxM mesh and print
+    the compiler's per-device memory analysis (VERDICT r4 task 2: replace
+    the (H/8+2)/H arithmetic with `compiled.memory_analysis()` output).
+
+    The memory PROGRAM is backend-independent enough for this purpose: buffer
+    assignment sizes come from the sharded HLO's static shapes. (The CPU
+    executable runs the fused step's exact XLA fallback; on TPU the Pallas
+    kernel variant holds its working set in scoped VMEM, not extra HBM.)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from satflow_tpu.core.registry import create_model
+    import satflow_tpu.models  # noqa: F401
+    from satflow_tpu.parallel.mesh import make_mesh
+    from satflow_tpu.train.state import TrainState
+    from satflow_tpu.train.steps import make_train_step
+
+    n_dev = args.data_shards * args.shards
+    if len(jax.devices()) < n_dev:
+        raise SystemExit(
+            f"--mode sharded needs {n_dev} devices, found {len(jax.devices())}"
+            " — run with JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_dev}"
+        )
+    mesh = make_mesh(axis_shapes=[args.data_shards, args.shards],
+                     devices=jax.devices()[:n_dev])
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=args.channels,
+        out_channels=args.channels, forecast_steps=args.steps,
+        hidden_dim=args.hidden, cell_impl="fused",
+        dtype=jnp.bfloat16, lr=1e-3,
+    )
+    model.enable_spatial(mesh, axis="model")
+    rng = jax.random.PRNGKey(0)
+    # init at a tiny geometry (params are geometry-independent), then lower
+    # the step abstractly at the big one with the loader's spatial placement
+    xs = jnp.zeros((1, args.history, 64, 64, args.channels), jnp.bfloat16)
+    ys = jnp.zeros((1, args.steps, 64, 64, args.channels), jnp.bfloat16)
+    variables = model.init_variables(rng, (xs, ys))
+    params, mstate = model.split_variables(variables)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    state = TrainState.create(params, mstate, model.make_optimizer())
+
+    bspec = NamedSharding(mesh, P("data", None, "model"))
+    x = jax.ShapeDtypeStruct(
+        (args.batch, args.history, args.size, args.size, args.channels),
+        jnp.bfloat16, sharding=bspec)
+    y = jax.ShapeDtypeStruct(
+        (args.batch, args.steps, args.size, args.size, args.channels),
+        jnp.bfloat16, sharding=bspec)
+    step = make_train_step(model)
+    compiled = jax.jit(step).lower(state, (x, y), rng).compile()
+    ma = compiled.memory_analysis()
+    if ma is None:
+        raise SystemExit("memory_analysis() unavailable on this backend")
+    per_dev = (
+        ma.temp_size_in_bytes + ma.argument_size_in_bytes
+        + ma.output_size_in_bytes - ma.alias_size_in_bytes
+    )
+    print(json.dumps({
+        "geometry": f"{args.size}px b{args.batch} F{args.steps} bf16 "
+                    f"spatial={args.data_shards}x{args.shards}",
+        "mesh": f"data={args.data_shards} model={args.shards}",
+        "per_device_temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
+        "per_device_args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
+        "per_device_out_gb": round(ma.output_size_in_bytes / 1e9, 3),
+        "per_device_alias_gb": round(ma.alias_size_in_bytes / 1e9, 3),
+        "per_device_total_gb": round(per_dev / 1e9, 3),
+        "v5e_hbm_gb": 15.75,
+        "fits_per_chip": per_dev / 1e9 <= 15.75,
+        "source": "compiled.memory_analysis() on the sharded SPMD executable",
     }, indent=2))
 
 
