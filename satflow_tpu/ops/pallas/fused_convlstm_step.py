@@ -335,7 +335,8 @@ def _normalize_block_h(height: int, bh: int) -> int:
 
 
 def _pick_block_h(height: int, width: int, cx: int, ch: int,
-                  requested: Optional[int] = None, itemsize: int = 2) -> int:
+                  requested: Optional[int] = None, itemsize: int = 2,
+                  conservative: bool = False) -> int:
     """Forward row-block size, holding the PROVEN VMEM footprint invariant.
 
     The production configuration (bf16, bh=8, W=256, Cx=Ch=64) is known to
@@ -344,7 +345,15 @@ def _pick_block_h(height: int, width: int, cx: int, ch: int,
     channels leave headroom, so scale bh up (capped at 32) to keep the
     byte footprint at the proven budget: fewer grid steps, fatter matmuls
     (64px bf16: bh=32 measures 1.059 vs 1.118 ms/step on v5e, +5.6%;
-    128px/64ch bf16 gets bh=16, measured correct; f32 halves the rows)."""
+    128px/64ch bf16 gets bh=16, measured correct; f32 halves the rows).
+
+    ``conservative=True`` is for DISPATCH guards: the budget basis is capped
+    at the Mosaic-default 16 MiB so a raised limit never flips a
+    Pallas-vs-XLA decision to a shape class that was only ever proven at the
+    default (e.g. 2048px fwd, 1024px bwd stay on the XLA path), while a
+    LOWERED limit still shrinks the guard's pick so bh=1 miscompile shapes
+    keep falling back. Block-size picks inside an enabled kernel use the
+    full limit; tools/exp_aot_widths.py AOT-verifies the enabled frontier."""
     if requested is None:
         env = os.environ.get("SATFLOW_BLOCK_H")
         if env:
@@ -352,12 +361,16 @@ def _pick_block_h(height: int, width: int, cx: int, ch: int,
     if requested is not None:
         return _normalize_block_h(height, requested)
     budget = 2048 * 384 * 2  # bytes: the proven bf16 bh=8 config at the
-    # Mosaic-default 16 MiB scoped limit; scale linearly with the raised
-    # limit (64 MiB default -> 4x, i.e. bh=32 at 256px/64ch bf16 — measured
-    # faster, see _DEFAULT_VMEM_LIMIT above)
+    # Mosaic-default 16 MiB scoped limit; scale PROPORTIONALLY with the
+    # actual limit in both directions (64 MiB default -> 4x, i.e. bh=32 at
+    # 256px/64ch bf16 — measured faster, see _DEFAULT_VMEM_LIMIT above;
+    # an 8 MiB override -> 0.5x so picked blocks still fit the scoped
+    # memory actually granted to the kernel)
     limit = _vmem_limit()
+    if limit and conservative:
+        limit = min(limit, _MOSAIC_DEFAULT_LIMIT)
     if limit:
-        budget *= max(1, limit // _MOSAIC_DEFAULT_LIMIT)
+        budget = budget * limit // _MOSAIC_DEFAULT_LIMIT
     k = 3 * (cx + ch)
     bh = max(1, min(32, budget // max(width * k * itemsize, 1)))
     bh = 1 << (bh.bit_length() - 1)  # power of two for clean halving
@@ -536,7 +549,7 @@ def fused_convlstm_step_padded(xp, hp, c, wx, wh, b,
             # same concat structure here) — ride the exact XLA step instead
             and _pick_block_h(
                 xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1],
-                None, xp.dtype.itemsize,
+                None, xp.dtype.itemsize, conservative=True,
             ) >= 2
         )
     if use:
@@ -562,7 +575,7 @@ def _fwd_padded(xp, hp, c, wx, wh, b, use_pallas):
                 and wx.shape[:2] == (3, 3)
                 and _pick_block_h(  # bh=1 Mosaic guard, see dispatchers
                     xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1],
-                    None, xp.dtype.itemsize,
+                    None, xp.dtype.itemsize, conservative=True,
                 ) >= 2
             )
         if use:
@@ -620,7 +633,7 @@ def _bwd_padded(use_pallas, residuals, cotangents):
             use = False
         if use and _pick_block_h(
             xp.shape[1], xp.shape[2] - 2, xp.shape[-1], c.shape[-1], None,
-            xp.dtype.itemsize,
+            xp.dtype.itemsize, conservative=True,
         ) < 4:
             # full-disk widths: the backward's VMEM budget needs bh < 2,
             # below the Mosaic floor — ride the exact XLA gate backward
@@ -680,7 +693,7 @@ def fused_convlstm_step(x, h, c, wx, wh, b, use_pallas: Optional[bool] = None):
             # dispatcher; fall back to the exact XLA step at such widths
             and _pick_block_h(
                 x.shape[1], x.shape[2], x.shape[-1], c.shape[-1],
-                None, x.dtype.itemsize,
+                None, x.dtype.itemsize, conservative=True,
             ) >= 2
         )
     if use:
@@ -834,12 +847,18 @@ def _gate_bwd_pallas(x, h, c, wx, wh, b, dh_next, dc_next,
     ch = c.shape[-1]
     if block_h is None:
         # The backward carries roughly 2x the forward's VMEM per row block
-        # (dh/dc inputs, dgates output + f32 accumulator): at W=256 block_h=8
-        # exceeds the 16 MB scoped limit by 1.5 MB (measured), and at W=1024
-        # the old fixed floor of 4 exceeded it by 8.1 MB (AOT-measured).
-        # Scale with the forward's byte-budget pick, halved, capped at the
-        # proven 8 — preserves every measured config (8@64px, 8@128px,
-        # 4@256px) and shrinks for full-disk widths (1@1024px+).
+        # (dh/dc inputs, dgates output + f32 accumulator), so size it as
+        # the forward's byte-budget pick HALVED, capped at 8. The pick here
+        # uses the full (raised) VMEM limit — under the 64 MiB default that
+        # is fwd_pick=32 -> bh=8 at 256px/64ch bf16, which fits because the
+        # kernel's scoped limit was raised by the same 4x that once made
+        # bh=8 bust the 16 MiB default by 1.5 MB (AOT-measured then).
+        # Under SATFLOW_VMEM_LIMIT_BYTES=0 (legacy 16 MiB) the picks revert
+        # to the r2-measured set: 8@64px, 8@128px, 4@256px. WHETHER this
+        # kernel runs at all is decided by the callers' conservative
+        # (16 MiB-capped) guards, so full-disk widths (1024px+) that were
+        # never proven here stay on the XLA gate backward regardless of the
+        # limit; tools/exp_aot_widths.py AOT-verifies the enabled frontier.
         fwd_pick = _pick_block_h(height, width, cx, ch, None, x.dtype.itemsize)
         # floor 2: Mosaic mis-lowers the im2col concat at 1-row blocks
         # ("result/input offset mismatch", AOT-observed at W=1024/bh=1);
@@ -914,7 +933,7 @@ def _bwd(use_pallas, residuals, cotangents):
         use = False
     if use and _pick_block_h(
         x.shape[1], x.shape[2], x.shape[-1], c.shape[-1], None,
-        x.dtype.itemsize,
+        x.dtype.itemsize, conservative=True,
     ) < 4:
         use = False  # see _bwd_padded: bwd bh would fall below the Mosaic floor
     if use:

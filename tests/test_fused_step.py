@@ -220,3 +220,32 @@ def test_full_custom_vjp_pallas_interpret(rng, monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_block_pick_scales_proportionally(monkeypatch):
+    """The byte budget scales with the VMEM limit in BOTH directions and the
+    conservative (dispatch-guard) pick never exceeds the 16 MiB-calibrated
+    one (advisor r3: an 8 MiB override must shrink picked blocks, a 63 MiB
+    one must scale ~3.9x not 3x, and a raised limit must not flip guards)."""
+    pick = F._pick_block_h
+    # legacy limit (env 0 -> compiler default): the r2-proven picks
+    monkeypatch.setenv("SATFLOW_VMEM_LIMIT_BYTES", "0")
+    assert pick(256, 256, 64, 64, None, 2) == 8
+    assert pick(1024, 1024, 64, 64, None, 2) == 2
+    assert pick(2048, 2048, 64, 64, None, 2) == 1
+    # default raised limit (64 MiB): 4x budget
+    monkeypatch.delenv("SATFLOW_VMEM_LIMIT_BYTES")
+    assert pick(256, 256, 64, 64, None, 2) == 32
+    # conservative pick is capped at the 16 MiB calibration regardless
+    assert pick(256, 256, 64, 64, None, 2, conservative=True) == 8
+    assert pick(2048, 2048, 64, 64, None, 2, conservative=True) == 1
+    # a LOWERED limit shrinks both the block pick and the guard pick
+    monkeypatch.setenv("SATFLOW_VMEM_LIMIT_BYTES", str(8 * 1024 * 1024))
+    assert pick(256, 256, 64, 64, None, 2) == 4
+    assert pick(256, 256, 64, 64, None, 2, conservative=True) == 4
+    # proportional (not integer-floored) scaling at a non-multiple limit
+    monkeypatch.setenv("SATFLOW_VMEM_LIMIT_BYTES", str(63 * 1024 * 1024))
+    assert pick(1024, 1024, 64, 64, None, 2) == 4  # 3.94x budget -> pick 4
+    # explicit request and SATFLOW_BLOCK_H still bypass the budget entirely
+    monkeypatch.setenv("SATFLOW_BLOCK_H", "16")
+    assert pick(256, 256, 64, 64, None, 2) == 16

@@ -15,8 +15,12 @@ limit, and then the FULL bench rollout for the winner.
 Run on TPU:
     python -m tools.exp_vmem_block [--vmem-kib 65536] [--rollout]
 
-The flag is injected into XLA_FLAGS before jax import, so run one
-configuration per process. Results recorded in docs/DESIGN.md.
+The limit is applied via the per-kernel Mosaic knob
+(pltpu.CompilerParams.vmem_limit_bytes), driven by SATFLOW_VMEM_LIMIT_BYTES,
+which this tool sets before jax import — the global
+--xla_tpu_scoped_vmem_limit_kib XLA flag is not recognized by this client
+build. Run one configuration per process. Results recorded in
+docs/DESIGN.md.
 """
 
 import argparse
