@@ -34,6 +34,7 @@ def run_baseline(
     flow_channel: Optional[int] = None,
     output_dir: Optional[str] = None,
     max_batches: Optional[int] = None,
+    target_view=None,
 ) -> Dict[str, np.ndarray]:
     """Run the flow + persistence baseline over a dataset.
 
@@ -41,6 +42,16 @@ def run_baseline(
     (B, F, H, W, C) in y. ``flow_channel``: compute flow on one channel (the
     reference's HRV-then-apply-to-masks mode, baseline/README.md:18-22) or per
     channel when None.
+
+    ``target_view``: optional callable (F, H, W) -> (F, H', W') applied to the
+    warped/persistence predictions AND the truth before scoring. This is how
+    a model that predicts a coarser target grid (MetNet: center crop at 1/16
+    resolution) gets an apples-to-apples flow arm: the flow is solved and
+    warped at INPUT resolution — where the motion is super-pixel and
+    recoverable — and only the scoring happens on the pooled target grid
+    (reference baseline/README.md:18-22 computes flow on full-res HRV and
+    applies it to the scored targets the same way). Solving flow directly on
+    a pooled 4x4 grid instead degenerates to zero flow ≡ persistence.
 
     Returns dict with ``flow_loss`` and ``baseline_loss`` arrays of shape
     (C, forecast_steps) plus scalar means.
@@ -93,11 +104,19 @@ def run_baseline(
                 warped = np.asarray(
                     rollout_warp(jnp.asarray(curr_f[..., ch]), jnp.asarray(flow), steps)
                 )  # (steps, H, W)
+                persisted = np.broadcast_to(
+                    curr_f[None, ..., ch], (steps, h, w)
+                )
+                truth_ch = truth[..., ch]
+                if target_view is not None:
+                    warped = np.asarray(target_view(warped))
+                    persisted = np.asarray(target_view(np.ascontiguousarray(persisted)))
+                    truth_ch = np.asarray(target_view(truth_ch))
                 total_flow[ch] += np.mean(
-                    (warped - truth[..., ch]) ** 2, axis=(1, 2)
+                    (warped - truth_ch) ** 2, axis=(1, 2)
                 )
                 total_persist[ch] += np.mean(
-                    (curr_f[None, ..., ch] - truth[..., ch]) ** 2, axis=(1, 2)
+                    (persisted - truth_ch) ** 2, axis=(1, 2)
                 )
             count += 1
 

@@ -207,5 +207,15 @@ def convlstm_spatial_forward(
         out_specs=spec,
         check_vma=False,  # ppermute-based halos are deliberately non-replicated
     )
-    x = jax.device_put(x, NamedSharding(mesh, spec))
+    target = NamedSharding(mesh, spec)
+    if isinstance(x, jax.core.Tracer) or target.is_fully_addressable:
+        # single-process mesh (or under jit, where device_put is a sharding
+        # constraint): plain device_put keeps TPU-resident inputs on-device
+        x = jax.device_put(x, target)
+    elif getattr(x, "sharding", None) != target:
+        # multi-process mesh: no one process can address every shard, so
+        # each contributes its local shards of the (identical) host value
+        from satflow_tpu.parallel.mesh import put_global
+
+        x = put_global(x, target)
     return sharded(params, x)

@@ -63,6 +63,41 @@ def main() -> None:
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     leaves = jax.tree_util.tree_leaves(state.params)
     arrays = {f"p{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+    # --- spatial halo exchange: the repo's ppermute collective must ALSO
+    # cross the process boundary (it only ever ran single-process before).
+    # model axis = all 8 devices, so the per-step halo ppermute between
+    # shard 3 (this side of the boundary) and shard 4 (the other process)
+    # is a genuine cross-host transfer — forward AND its transpose in grad.
+    import jax.numpy as jnp
+
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+    from satflow_tpu.parallel.spatial import convlstm_spatial_forward
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from satflow_tpu.parallel.mesh import put_global
+
+    smesh = make_mesh(axis_shapes=[1, 8])
+    xs = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (1, 2, 16, 8, 4),
+                                       dtype=jnp.float32))
+    core = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=4,
+                        cell_impl="fused")
+    vs = core.init(jax.random.PRNGKey(8), jnp.asarray(xs))
+    # multi-process rule: every jit input must be a GLOBAL array — params
+    # replicated, x pre-placed with the exact spec the rollout consumes
+    params_g = put_replicated(vs["params"], smesh)
+    xs_g = put_global(xs, NamedSharding(smesh, P("data", None, "model")))
+
+    def sp_loss(p, xg):
+        out = convlstm_spatial_forward(p, xg, 4, smesh, axis="model")
+        return jnp.sum((out - 0.5) ** 2)
+
+    s_loss, s_grads = jax.jit(jax.value_and_grad(sp_loss))(params_g, xs_g)
+    arrays["s_loss"] = np.float32(np.asarray(jax.device_get(s_loss)))
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(s_grads)):
+        arrays[f"g{i}"] = np.asarray(leaf)
+
     if pid == 0:
         np.savez(out, loss=np.float32(loss), **arrays)
 

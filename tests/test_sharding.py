@@ -434,6 +434,28 @@ def test_cross_process_dp_collective(tmp_path):
     for a, b in zip(ref_leaves, leaves):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
 
+    # --- spatial halo exchange across the process boundary: the workers also
+    # ran the H-sharded shard_map rollout over a model=8 mesh spanning both
+    # processes (tests/_dist_worker.py), so the per-step halo ppermute — and
+    # its transpose in the gradient — crossed a real host boundary. Value
+    # and grads must match the DENSE single-process rollout.
+    from satflow_tpu.models.conv_lstm import ConvLSTMCore
+
+    xs = jax.random.uniform(jax.random.PRNGKey(7), (1, 2, 16, 8, 4),
+                            dtype=jnp.float32)
+    core = ConvLSTMCore(hidden_dim=8, out_channels=4, forecast_steps=4,
+                        cell_impl="fused")
+    vs = core.init(jax.random.PRNGKey(8), xs)
+    ref_sloss, ref_sgrads = jax.jit(jax.value_and_grad(
+        lambda p: jnp.sum((core.apply({"params": p}, xs) - 0.5) ** 2)
+    ))(vs["params"])
+    np.testing.assert_allclose(float(got["s_loss"]),
+                               float(np.asarray(ref_sloss)), rtol=1e-5)
+    ref_gleaves = jax.tree_util.tree_leaves(ref_sgrads)
+    for i, ref_g in enumerate(ref_gleaves):
+        np.testing.assert_allclose(got[f"g{i}"], np.asarray(ref_g),
+                                   atol=1e-4, rtol=1e-4)
+
 
 def test_spatial_trainer_fit():
     """trainer.spatial="2x4" trains the fused ConvLSTM end-to-end with the

@@ -36,8 +36,21 @@ def make_dm():
     return DecayDM()
 
 
-ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "unet", "runet",
-            "attentionunet", "attentionrunet", "fcn", "deeplabv3", "pixelcnn")
+ALL_ARMS = ("baselines", "convlstm", "perceiver", "metnet", "metnet_stoch",
+            "unet", "runet", "attentionunet", "attentionrunet", "fcn",
+            "deeplabv3", "pixelcnn")
+# metnet_baselines: recompute the @metnet_grid baseline rows only (no
+# training) — used when the baseline protocol changes
+EXTRA_ARMS = ("metnet_baselines",)
+
+
+def _to_metnet_grid(frames):
+    # (F, 64, 64) -> center-crop 16 -> avg-pool 4x -> (F, 4, 4); numpy
+    # mirror of crop_center + _avg_pool_frames in the MetNet model
+    f, h, w = frames.shape
+    sh, sw = (h - 16) // 2, (w - 16) // 2
+    crop = frames[:, sh:sh + 16, sw:sw + 16]
+    return crop.reshape(f, 4, 4, 4, 4).mean(axis=(2, 4))
 
 
 def main(arms=None):
@@ -50,7 +63,7 @@ def main(arms=None):
     import satflow_tpu.models  # noqa: F401
 
     arms = set(arms or ALL_ARMS)
-    unknown = arms - set(ALL_ARMS)
+    unknown = arms - set(ALL_ARMS) - set(EXTRA_ARMS)
     if unknown:
         # a typo'd arm must not silently skip hours of intended training
         raise SystemExit(
@@ -174,31 +187,22 @@ def main(arms=None):
         _eval_into(name, m, trainer, n_epochs)
 
     # --- MetNet arm: MetNet predicts the center 1/4 crop at 1/16 resolution
-    # (reference pl_metnet geometry) — apples-to-apples means running the
-    # baselines at that SAME target geometry (64px data -> 4x4 targets, where
-    # pooled motion is sub-pixel but the intensity decay still discriminates).
-    if "metnet" in arms:
-        from satflow_tpu.data import consts
+    # (reference pl_metnet geometry) — apples-to-apples means SCORING the
+    # baselines at that SAME target geometry (64px data -> 4x4 targets). The
+    # flow itself is solved and warped at INPUT resolution and only then
+    # pooled to the target grid (the reference's compute-on-full-res-HRV
+    # protocol, baseline/README.md:18-22): solving flow on the pooled 4x4
+    # grid degenerates to zero flow ≡ persistence (the r3 verdict's
+    # "two-way gate" defect).
+    if arms & {"metnet", "metnet_baselines"}:
         from satflow_tpu.data.fake import DecayingAdvectionDataset
-        from satflow_tpu.models.metnet import _avg_pool_frames
-        from satflow_tpu.nn.misc import crop_center
 
         ds64 = dict(DS_KW, width=64, height=64)
         eval64 = DecayingAdvectionDataset(length=3, seed=300, **ds64)
 
-        def metnet_view(ds):
-            for x, y in ds:
-                out = []
-                for part in (x, y):
-                    sat = np.asarray(part[consts.SATELLITE_DATA])
-                    sat = np.asarray(
-                        _avg_pool_frames(crop_center(sat, 16, 16), factor=4)
-                    )
-                    out.append({consts.SATELLITE_DATA: sat})
-                yield tuple(out)
-
-        base_m = run_baseline(metnet_view(eval64), forecast_steps=STEPS,
-                              flow_method="farneback", max_batches=3)
+        base_m = run_baseline(eval64, forecast_steps=STEPS,
+                              flow_method="farneback", max_batches=3,
+                              target_view=_to_metnet_grid)
         results["persistence@metnet_grid"] = {
             "mse_t": np.mean(base_m["baseline_loss"], axis=0).tolist(),
             "mse": float(np.mean(base_m["baseline_loss"])),
@@ -208,6 +212,11 @@ def main(arms=None):
             "mse": float(np.mean(base_m["flow_loss"])),
         }
 
+    if "metnet" in arms:
+        from satflow_tpu.data.fake import DecayingAdvectionDataset
+
+        ds64 = dict(DS_KW, width=64, height=64)
+        eval64 = DecayingAdvectionDataset(length=3, seed=300, **ds64)
         dm64 = make_dm()
         dm64._dataset = lambda split, n: DecayingAdvectionDataset(
             length=12, seed={"train": 0, "validation": 100,
@@ -228,6 +237,52 @@ def main(arms=None):
         print("metnet vs persistence@grid",
               results["persistence@metnet_grid"]["mse"])
 
+    # --- MetNet stochastic arm: the REAL three-way gate. On deterministic
+    # advection the full-res-solved flow arm is a near-oracle at the pooled
+    # grid (it recovers the exact generating motion; pooling suppresses its
+    # sparse decay residual quadratically in blob coverage) — 27x better
+    # than persistence, a regime nothing like the reference's real-data
+    # finding of flow only 1.6% ahead (reference baseline/README.md:13-25,
+    # 0.1541 vs 0.1566: real clouds evolve unpredictably, so extrapolating
+    # past motion is beatable). StochasticAdvectionDataset reproduces that
+    # regime (future velocity redrawn at the boundary): measured flow
+    # 0.00144 vs persistence 0.00200 (+28%), and a trained MetNet that
+    # hedges over the velocity modes must beat BOTH.
+    if "metnet_stoch" in arms:
+        from satflow_tpu.data.fake import StochasticAdvectionDataset
+
+        ds64 = dict(DS_KW, width=64, height=64)
+        eval64s = StochasticAdvectionDataset(length=3, seed=300, **ds64)
+        base_s = run_baseline(eval64s, forecast_steps=STEPS,
+                              flow_method="farneback", max_batches=3,
+                              target_view=_to_metnet_grid)
+        results["persistence@metnet_grid_stoch"] = {
+            "mse_t": np.mean(base_s["baseline_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_s["baseline_loss"])),
+        }
+        results["optical_flow@metnet_grid_stoch"] = {
+            "mse_t": np.mean(base_s["flow_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_s["flow_loss"])),
+        }
+        dm64s = make_dm()
+        dm64s._dataset = lambda split, n: StochasticAdvectionDataset(
+            length=12, seed={"train": 0, "validation": 100,
+                             "test": 200}[split],
+            **ds64,
+        )
+        epochs_ms = 150
+        metnet_s = create_model(
+            "litmetnet", input_channels=2, sat_channels=2, output_channels=2,
+            input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
+            warmup_steps=100, total_steps=epochs_ms * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_ms, log_every_n_steps=500, seed=0)
+        trainer.fit(metnet_s, dm64s)
+        _eval_into("metnet@stoch", metnet_s, trainer, epochs_ms,
+                   eval_set=eval64s)
+        print("metnet@stoch vs flow@grid_stoch",
+              results["optical_flow@metnet_grid_stoch"]["mse"])
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/accuracy_results.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -239,6 +294,8 @@ _FULL_RES = ("persistence", "optical_flow", "optical_flow_hs", "convlstm",
              "perceiver", "unet", "runet", "attentionunet", "attentionrunet",
              "fcn", "deeplabv3", "pixelcnn")
 _METNET_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
+_METNET_STOCH = ("persistence@metnet_grid_stoch",
+                 "optical_flow@metnet_grid_stoch", "metnet@stoch")
 
 
 def _table(r, names, steps):
@@ -288,22 +345,43 @@ def _write_md(r):
         "## MetNet — at its output geometry",
         "",
         "MetNet predicts the center 1/4 crop at 1/16 resolution (the",
-        "reference pl_metnet geometry), so its baselines run on the SAME",
-        "pooled target grid (64px data -> 4x4 targets). Pooled motion is",
-        "sub-pixel there, making persistence/flow strong; the intensity",
-        "decay is what a trained model must capture to win.",
+        "reference pl_metnet geometry), so its baselines are SCORED on the",
+        "SAME pooled target grid (64px data -> 4x4 targets). The flow arm",
+        "is solved and warped at input resolution and only then pooled",
+        "(the reference's compute-on-full-res protocol) — solving on the",
+        "pooled grid degenerates to zero flow ≡ persistence.",
+        "",
+        "On DETERMINISTIC advection this full-res flow arm is a",
+        "near-oracle at the pooled grid: it recovers the exact generating",
+        "motion, and pooling suppresses its one blind spot (the sparse",
+        "decay residual) quadratically in blob coverage — flow lands 27x",
+        "below persistence, a regime nothing like the reference's real",
+        "data, where flow beats persistence by 1.6% (0.1541 vs 0.1566,",
+        "baseline/README.md:13-25) because real clouds evolve",
+        "unpredictably. MetNet beats persistence here but not that oracle:",
         "",
         *_table(r, _METNET_GRID, steps),
         "",
+        "The REAL three-way gate therefore runs on",
+        "`StochasticAdvectionDataset` (future velocity redrawn at the",
+        "history boundary), which reproduces the reference's real-data",
+        "regime — extrapolating past motion helps but is beatable, and a",
+        "trained MetNet that hedges over the velocity modes must beat",
+        "BOTH baselines (gated in tests/test_accuracy.py):",
+        "",
+        *_table(r, _METNET_STOCH, steps),
+        "",
     ]
-    # preserve the GAN section (owned by tools/gan_gate.py) across reruns
+    # preserve the sections owned by the other gate tools across reruns
+    # (tools/horizon_gate.py's 48-step section, then tools/gan_gate.py's)
     gan_tail = ""
-    marker = "## GAN family"
+    markers = ("## 48-step horizon", "## GAN family")
     if os.path.exists("docs/ACCURACY.md"):
         with open("docs/ACCURACY.md") as f:
             doc = f.read()
-        if marker in doc:
-            gan_tail = "\n" + doc[doc.index(marker):]
+        idxs = [doc.index(m) for m in markers if m in doc]
+        if idxs:
+            gan_tail = "\n" + doc[min(idxs):]
     with open("docs/ACCURACY.md", "w") as f:
         f.write("\n".join(lines) + gan_tail)
 
