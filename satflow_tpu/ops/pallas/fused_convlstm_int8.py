@@ -189,7 +189,10 @@ def fused_convlstm_step_int8(xq, hq, c, w3q, dequant, b, use_pallas=None,
     bsz, height, wp2, cx = xq.shape
     width = wp2 - 2
     ch = c.shape[-1]
-    from satflow_tpu.ops.pallas.fused_convlstm_step import _normalize_block_h
+    from satflow_tpu.ops.pallas.fused_convlstm_step import (
+        _compiler_params,
+        _normalize_block_h,
+    )
 
     if block_h is None:
         block_h = _BLOCK_H
@@ -234,9 +237,10 @@ def fused_convlstm_step_int8(xq, hq, c, w3q, dequant, b, use_pallas=None,
             jax.ShapeDtypeStruct((bsz, height, width + 2, ch), jnp.int8),
             jax.ShapeDtypeStruct((bsz, height, width, ch), c.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        # same raised scoped-VMEM limit as the bf16 kernel (the r3 study's
+        # bigger-block win needs it: at the Mosaic-default 16 MiB, bh=16/32
+        # fails on the f32 accumulator — the documented int8 block ceiling)
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(xq, xq, xq, hq, hq, hq, c, w3q, dequant, b)
     return h_next, c_next

@@ -39,8 +39,11 @@ def crps_finetune(
     steps: int = 300,
     num_samples: int = 6,
     lr: float = 5e-5,
+    lr_schedule: str = "constant",
     seed: int = 0,
     log_every: int = 50,
+    eval_every: Optional[int] = None,
+    eval_fn: Optional[Any] = None,
 ) -> Tuple[Dict[str, Any], List[float]]:
     """Fine-tune a sampling model's generator on fair ensemble CRPS.
 
@@ -58,17 +61,33 @@ def crps_finetune(
         ``1/(2M(M-1))`` estimator is unbiased at any M >= 2).
       log_every: period of entries recorded in the returned loss history
         (step 0 and the final step are always recorded).
+      lr_schedule: ``"constant"`` or ``"cosine"`` (decay ``lr`` to ~0 over
+        ``steps`` after a 5% linear warmup — the long-schedule recipe; the
+        flat-lr fair-CRPS loss plateaus noisily, see docs/ACCURACY.md).
+      eval_every / eval_fn: if both given, ``eval_fn({"params": p, **frozen})``
+        runs every ``eval_every`` steps (and at the end); its results are
+        returned as the ``frontier`` attribute on the history list — the
+        CRPS-vs-spread-vs-MSE frontier of the fine-tune.
 
     Returns:
       (new_g_vars, history) — fine-tuned variables (same structure as
-      ``g_vars``) and the recorded fair-CRPS values.
+      ``g_vars``) and the recorded fair-CRPS values. When eval_fn is given,
+      ``history.frontier`` holds [(step, eval_result), ...].
     """
     if num_samples < 2:
         raise ValueError("fair CRPS needs num_samples >= 2 "
                          f"(got {num_samples})")
     params = g_vars["params"]
     frozen = {k: v for k, v in g_vars.items() if k != "params"}
-    opt = optax.adam(lr)
+    if lr_schedule == "cosine":
+        warmup = max(1, steps // 20)
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 10, peak_value=lr, warmup_steps=warmup,
+            decay_steps=steps, end_value=lr / 100,
+        )
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(lr)
     opt_state = opt.init(params)
 
     def loss_fn(p, x, y, rng):
@@ -87,7 +106,12 @@ def crps_finetune(
     if not cache:
         raise ValueError("crps_finetune needs at least one batch")
     rng = jax.random.PRNGKey(seed)
-    history: List[float] = []
+
+    class _History(list):
+        frontier: List[Tuple[int, Any]]
+
+    history = _History()
+    history.frontier = []
     loss: Optional[jax.Array] = None
     for i in range(steps):
         rng, sub = jax.random.split(rng)
@@ -95,6 +119,14 @@ def crps_finetune(
         params, opt_state, loss = step_fn(params, opt_state, x, y, sub)
         if i % log_every == 0:
             history.append(float(loss))
+        if eval_fn is not None and eval_every and (i + 1) % eval_every == 0:
+            history.frontier.append(
+                (i + 1, eval_fn({"params": params, **frozen}))
+            )
     if loss is not None:
         history.append(float(loss))
+    if eval_fn is not None and (
+        not history.frontier or history.frontier[-1][0] != steps
+    ):
+        history.frontier.append((steps, eval_fn({"params": params, **frozen})))
     return {"params": params, **frozen}, history

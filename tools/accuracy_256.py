@@ -1,0 +1,175 @@
+"""256px production-geometry accuracy study (TPU).
+
+The headline study (tools/accuracy_gate.py) runs at 32px for CPU-budget CI;
+the only prior full-geometry training evidence was a convergence smoke
+(docs/DESIGN.md: 40 steps of 256px b8 F24 drive MSE 0.2497 -> 0.00049) — a
+loss-goes-down check, not a gated accuracy result. This tool promotes it:
+train the flagship ConvLSTM at the production geometry (256px, batch 8, 24
+lead times — the bench.py rollout shape) on decaying advection to a fixed
+budget, evaluate against persistence + Farneback flow AT THAT GEOMETRY, and
+record MS-SSIM (the north star's "at matching MS-SSIM" clause,
+BASELINE.md). Gated by tests/test_accuracy.py (artifact) and
+tests/test_tpu_smoke.py (live hardware run).
+
+Usage (TPU): python tools/accuracy_256.py [--epochs 8]
+Writes docs/accuracy_256.json + a "## 256px production geometry" section in
+docs/ACCURACY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+# velocity (2,4)*24 steps = (48,96)px displacement — super-pixel motion with
+# no torus wrap inside the horizon; decay 0.93^24 = 0.18 leaves a strong
+# intensity signal the flow warp cannot capture; 24 blobs keep the blob
+# coverage fraction comparable to the 32px study's 4 blobs.
+DS256 = dict(batch_size=8, width=256, height=256, number_sat_channels=1,
+             history_minutes=15, forecast_minutes=120, velocity=(2, 4),
+             decay=0.93, n_blobs=24)
+STEPS = 24
+
+RESULTS_PATH = "docs/accuracy_256.json"
+MARKER = "## 256px production geometry"
+
+
+def make_dm():
+    from satflow_tpu.data.datamodule import SatFlowDataModule
+    from satflow_tpu.data.fake import DecayingAdvectionDataset
+
+    class DecayDM(SatFlowDataModule):
+        def __init__(self, **kwargs):
+            super().__init__(fake_data=True, num_workers=0, shard=False,
+                             **kwargs)
+
+        def _dataset(self, split, n):
+            seed = {"train": 0, "validation": 100, "test": 200}[split]
+            return DecayingAdvectionDataset(length=12, seed=seed, **DS256)
+
+    return DecayDM()
+
+
+def main(epochs: int = 8):
+    import jax.numpy as jnp
+
+    from satflow_tpu.baseline.optical_flow import run_baseline
+    from satflow_tpu.core.registry import create_model
+    from satflow_tpu.core.utils import setup_compilation_cache
+    from satflow_tpu.data.fake import DecayingAdvectionDataset
+    from satflow_tpu.eval.evaluate import evaluate_model
+    from satflow_tpu.train.engine import Trainer
+    import satflow_tpu.models  # noqa: F401
+
+    setup_compilation_cache()
+    eval_ds = DecayingAdvectionDataset(length=2, seed=300, **DS256)
+
+    base = run_baseline(eval_ds, forecast_steps=STEPS,
+                        flow_method="farneback", max_batches=2)
+    results = {
+        "persistence@256px": {
+            "mse_t": np.mean(base["baseline_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base["baseline_loss"])),
+        },
+        "optical_flow@256px": {
+            "mse_t": np.mean(base["flow_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base["flow_loss"])),
+        },
+    }
+    print("persistence", results["persistence@256px"]["mse"],
+          "flow", results["optical_flow@256px"]["mse"], flush=True)
+
+    # the convergence smoke's recipe (docs/DESIGN.md): fused cells, sqrt
+    # remat (chunk 6 ~ sqrt(24)), bf16 compute, Adam 2e-4 — 256px training
+    # does not fit HBM without remat
+    model = create_model(
+        "encoderdecoderconvlstm", input_channels=1, out_channels=1,
+        forecast_steps=STEPS, hidden_dim=64, lr=2e-4, cell_impl="fused",
+        remat=True, remat_chunk=6, dtype=jnp.bfloat16,
+    )
+    trainer = Trainer(max_epochs=epochs, log_every_n_steps=12, seed=0,
+                      limit_val_batches=1)
+    trainer.fit(model, make_dm())
+
+    variables = {"params": trainer.state.params,
+                 **trainer.state.model_state}
+    curves = evaluate_model(model, variables, eval_ds, max_batches=2,
+                            compute_ms_ssim=True)
+    results["convlstm@256px"] = {
+        "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+        "mse": float(np.mean(curves["mse"])),
+        "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
+        "ms_ssim": float(np.mean(curves["ms_ssim"])),
+        "epochs": epochs,
+        "optimizer_steps": epochs * 12,
+    }
+    print("convlstm@256px mse", results["convlstm@256px"]["mse"],
+          "ms_ssim", results["convlstm@256px"]["ms_ssim"], flush=True)
+
+    os.makedirs("docs", exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=2)
+    _write_md(results)
+    print(json.dumps({k: v.get("mse") for k, v in results.items()}))
+
+
+def _section(r):
+    m = r["convlstm@256px"]
+    lines = [
+        MARKER,
+        "",
+        "The 32px study above is CPU-budget CI; this arm gates the flagship",
+        "at the PRODUCTION geometry — 256px, batch 8, 24 lead times, the",
+        "bench.py rollout shape — trained on TPU hardware to a fixed budget",
+        f"({m['optimizer_steps']} optimizer steps, fused cells + sqrt remat,",
+        "bf16, the docs/DESIGN.md convergence-smoke recipe) and scored",
+        "against persistence + Farneback flow at that same geometry, with",
+        "MS-SSIM recorded (the north star's \"at matching MS-SSIM\" clause).",
+        "Reproduce: `python tools/accuracy_256.py` (TPU); gated by",
+        "`tests/test_accuracy.py` (artifact) and `tests/test_tpu_smoke.py`",
+        "(live).",
+        "",
+        "| Method | Mean MSE | Final-step MSE (t=23) | Mean MS-SSIM |",
+        "|---|---|---|---|",
+        f"| persistence@256px | {r['persistence@256px']['mse']:.5f} | "
+        f"{r['persistence@256px']['mse_t'][-1]:.5f} | - |",
+        f"| optical_flow@256px | {r['optical_flow@256px']['mse']:.5f} | "
+        f"{r['optical_flow@256px']['mse_t'][-1]:.5f} | - |",
+        f"| convlstm@256px | {m['mse']:.5f} | {m['mse_t'][-1]:.5f} | "
+        f"{m['ms_ssim']:.4f} |",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def _write_md(r):
+    """Insert/replace this tool's section in docs/ACCURACY.md (between the
+    48-step horizon section and the GAN section; both owners preserve it)."""
+    path = "docs/ACCURACY.md"
+    doc = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = f.read()
+    section = _section(r) + "\n"
+    gan_marker = "## GAN family"
+    if MARKER in doc:
+        start = doc.index(MARKER)
+        end = doc.index(gan_marker) if gan_marker in doc else len(doc)
+        doc = doc[:start] + section + doc[end:]
+    elif gan_marker in doc:
+        i = doc.index(gan_marker)
+        doc = doc[:i] + section + doc[i:]
+    else:
+        doc = doc + "\n" + section
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=8)
+    a = p.parse_args()
+    main(a.epochs)

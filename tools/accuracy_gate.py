@@ -373,9 +373,11 @@ def _write_md(r):
         "",
     ]
     # preserve the sections owned by the other gate tools across reruns
-    # (tools/horizon_gate.py's 48-step section, then tools/gan_gate.py's)
+    # (tools/horizon_gate.py's 48-step section, tools/accuracy_256.py's
+    # production-geometry section, then tools/gan_gate.py's)
     gan_tail = ""
-    markers = ("## 48-step horizon", "## GAN family")
+    markers = ("## 48-step horizon", "## 256px production geometry",
+               "## GAN family")
     if os.path.exists("docs/ACCURACY.md"):
         with open("docs/ACCURACY.md") as f:
             doc = f.read()

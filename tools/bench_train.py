@@ -8,6 +8,12 @@ survives the tunneled-TPU backend.
 
 Usage: python tools/bench_train.py [--size 64] [--batch 32] [--steps 24]
        [--remat/--no-remat] [--iters 8]
+
+``--model metnet|perceiver|dgmr`` instead measures the OTHER driver-named
+families' full train step at the zoo bench's reference-scale geometries
+(tools/bench_zoo.py measures forward-only; this is the training analog —
+VERDICT r3 #6): MetNet 256px in / 64px-crop out, Perceiver 64px F24, DGMR
+128px F24 with its 2:1 discriminator:generator update ratio.
 """
 
 from __future__ import annotations
@@ -20,7 +26,9 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=64)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default 32 (ConvLSTM), or the zoo-bench geometry "
+                        "for --model (metnet/perceiver 8, dgmr 4)")
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--channels", type=int, default=12)
@@ -38,8 +46,18 @@ def main():
                         "decode→split→batch rate without touching the device")
     p.add_argument("--store-batches", type=int, default=12)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--model", default=None,
+                   choices=("metnet", "perceiver", "dgmr"),
+                   help="bench another family's TRAIN step at its "
+                        "reference-scale geometry instead of the ConvLSTM")
     args = p.parse_args()
 
+    if args.model:
+        if args.batch is None:
+            args.batch = {"metnet": 8, "perceiver": 8, "dgmr": 4}[args.model]
+        return bench_model(args)
+    if args.batch is None:
+        args.batch = 32
     if args.from_store:
         return bench_from_store(args)
 
@@ -112,6 +130,113 @@ def main():
         "metric": f"train frames/s/chip {args.size}px b{args.batch} "
                   f"F{args.steps} {args.cell} remat={args.remat}"
                   + (f" chunk={args.remat_chunk}" if args.remat_chunk else ""),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "step_ms": round(dt * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "loss0": loss0,
+    }))
+
+
+def bench_model(args):
+    """Full-train-step throughput for the non-ConvLSTM driver families.
+
+    Same methodology as the flagship bench: iterations chained through the
+    evolving (GAN)TrainState under one jitted lax.scan so XLA cannot hoist
+    the step, one scalar fetched at the end. Geometries match the
+    forward-only zoo bench (tools/bench_zoo.py) so the two tables in
+    docs/DESIGN.md are directly comparable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from satflow_tpu.core.registry import create_model
+    from satflow_tpu.core.utils import setup_compilation_cache
+    from satflow_tpu.data.fake import FakeDataset
+    import satflow_tpu.models  # noqa: F401
+    from satflow_tpu.train.state import GANTrainState, TrainState
+    from satflow_tpu.train.steps import make_gan_train_step, make_train_step
+
+    setup_compilation_cache()
+    F = args.steps
+
+    if args.model == "metnet":
+        model = create_model(
+            "litmetnet", input_channels=16, sat_channels=12, input_size=64,
+            forecast_steps=F, hidden_dim=64, dtype=jnp.bfloat16, lr=1e-3,
+        )
+        ds_kw = dict(batch_size=args.batch, width=256, height=256,
+                     number_sat_channels=12, history_minutes=30,
+                     forecast_minutes=F * 5)
+        label = f"metnet 256px->64crop b{ds_kw['batch_size']} F{F}"
+    elif args.model == "perceiver":
+        model = create_model(
+            "perceiver", forecast_steps=F, input_channels=12, sat_channels=12,
+            input_size=64, depth=4, num_latents=256, latent_dim=256,
+            predict_timesteps_together=True, dtype=jnp.bfloat16, lr=1e-3,
+        )
+        ds_kw = dict(batch_size=args.batch, width=64, height=64,
+                     number_sat_channels=12, history_minutes=30,
+                     forecast_minutes=F * 5)
+        label = f"perceiver 64px b{ds_kw['batch_size']} F{F}"
+    else:  # dgmr
+        model = create_model(
+            "nowcastinggan", forecast_steps=F, input_channels=1,
+            output_shape=128, context_channels=192, latent_channels=384,
+            num_samples=1, disc_steps=2,
+        )
+        ds_kw = dict(batch_size=args.batch, width=128, height=128,
+                     number_sat_channels=1, history_minutes=15,
+                     forecast_minutes=F * 5)
+        label = f"dgmr 128px b{ds_kw['batch_size']} F{F} disc2:1"
+
+    ds = FakeDataset(length=1, **ds_kw)
+    batch = jax.tree_util.tree_map(jnp.asarray, ds[0])
+    rng = jax.random.PRNGKey(0)
+
+    if model.is_gan:
+        g_vars, d_vars = model.init_gan_variables(rng, batch)
+        g_params, g_state = model.split_variables(g_vars)
+        d_params, d_state = model.split_variables(d_vars)
+        g_tx, d_tx = model.make_optimizers()
+        state = GANTrainState.create(g_params, d_params,
+                                     {"g": g_state, "d": d_state}, g_tx, d_tx)
+        step = make_gan_train_step(model)
+        loss_key = "g_loss"
+    else:
+        variables = model.init_variables(rng, batch)
+        params, model_state = model.split_variables(variables)
+        state = TrainState.create(params, model_state, model.make_optimizer())
+        step = make_train_step(model)
+        loss_key = "loss"
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    loss0 = float(jax.device_get(metrics[loss_key]))
+    compile_s = time.perf_counter() - t0
+
+    @jax.jit
+    def chained(state, batch, rng):
+        def body(carry, _):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, m = step(st, batch, sub)
+            return (st, key), m[loss_key]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=args.iters)
+        return state, jnp.sum(losses.astype(jnp.float32))
+
+    state2, s = chained(state, batch, rng)
+    float(s)  # compile the chained program
+    t0 = time.perf_counter()
+    _, s = chained(state2, batch, rng)
+    float(s)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    fps = ds_kw["batch_size"] * F / dt
+    print(json.dumps({
+        "metric": f"train frames/s/chip {label}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "step_ms": round(dt * 1000, 2),

@@ -262,18 +262,31 @@ def main(arms=None):
         # answer to the accuracy-vs-diversity gap documented above.
         from satflow_tpu.train.probabilistic import crps_finetune
 
-        ft_steps = int(os.environ.get("SATFLOW_DGMR_FT_STEPS", "400"))
+        # r4 (VERDICT r3 #5, push the spread frontier): the r3 recipe
+        # (400 steps, M=6, flat lr 1e-4) plateaued at CRPS 0.0234 / std
+        # 8.1e-3 — ~30% of the oracle spread. Longer schedule, more
+        # members (M=8 lowers the fair-CRPS gradient variance), and a
+        # warmup-cosine decay; the frontier (CRPS vs std vs MSE every 400
+        # steps) is recorded for the doc's frontier table.
+        ft_steps = int(os.environ.get("SATFLOW_DGMR_FT_STEPS", "1600"))
+        ft_m = int(os.environ.get("SATFLOW_DGMR_FT_SAMPLES", "8"))
         train_sto = StochasticAdvectionDataset(length=12, seed=0, **DS_KW)
         ft_vars, ft_hist = crps_finetune(
             dgmr, jax.tree_util.tree_map(jnp.asarray, sel["g_vars"]),
-            list(train_sto), steps=ft_steps, num_samples=6, lr=1e-4,
+            list(train_sto), steps=ft_steps, num_samples=ft_m, lr=2e-4,
+            lr_schedule="cosine", eval_every=400, eval_fn=_ensemble_row,
         )
         results["dgmr_crps_finetuned"] = {
             **_ensemble_row(ft_vars),
             "finetune_steps": ft_steps,
-            "finetune_num_samples": 6,
+            "finetune_num_samples": ft_m,
             "from_epoch": sel["epoch"],
-            "fair_crps_history": ft_hist,
+            "fair_crps_history": list(ft_hist),
+            "frontier": [
+                {"step": s, "crps": e["crps"], "sample_std": e["sample_std"],
+                 "mse": e["mse"]}
+                for s, e in ft_hist.frontier
+            ],
             "num_samples": dgmr.num_samples,
         }
         print("dgmr FINETUNED mse", results["dgmr_crps_finetuned"]["mse"],
@@ -342,6 +355,37 @@ def _persistence_crps(eval_ds):
             jnp.asarray(persist.copy()),
             jnp.asarray(np.asarray(y["sat_data"]))))))
     return float(np.mean(vals))
+
+
+def _frontier_lines(r):
+    """The fine-tune's CRPS-vs-spread-vs-MSE frontier table (r4, VERDICT
+    r3 #5): evaluated every 400 fine-tune steps on the held-out stochastic
+    set, with the selected checkpoint as step 0 and the oracle as the
+    target row."""
+    fr = r.get("dgmr_crps_finetuned", {}).get("frontier")
+    if not fr:
+        return []
+    sel = r["dgmr_crps_selected"]
+    lines = [
+        "Fine-tune frontier (held-out stochastic set, ensemble of "
+        f"{r['dgmr'].get('num_samples', 3)}):",
+        "",
+        "| fine-tune step | CRPS | sample std | mean MSE |",
+        "|---|---|---|---|",
+        f"| 0 (selected ckpt) | {sel['crps']:.4f} | "
+        f"{sel['sample_std']:.1e} | {sel['mse']:.4f} |",
+    ]
+    for row in fr:
+        lines.append(
+            f"| {row['step']} | {row['crps']:.4f} | "
+            f"{row['sample_std']:.1e} | {row['mse']:.4f} |"
+        )
+    lines += [
+        f"| oracle 3-mode sampler | {r['oracle_crps']:.4f} | "
+        f"{r['oracle_sample_std']:.1e} | - |",
+        "",
+    ]
+    return lines
 
 
 def _write_md(r):
@@ -446,7 +490,8 @@ def _write_md(r):
         "differentiable objective rewards accuracy AND calibrated spread",
         "(gradients flow pathwise through the reparameterized latents).",
         f"Result ({r['dgmr_crps_finetuned']['finetune_steps']} Adam steps,",
-        "M=6 training ensemble): CRPS "
+        f"M={r['dgmr_crps_finetuned'].get('finetune_num_samples', 6)} "
+        "training ensemble, warmup-cosine lr): CRPS "
         f"{r['dgmr_crps_selected']['crps']:.4f} -> "
         f"{r['dgmr_crps_finetuned']['crps']:.4f}, sample std "
         f"{r['dgmr_crps_selected']['sample_std']:.1e} -> "
@@ -454,6 +499,7 @@ def _write_md(r):
         f"{r['oracle_sample_std']:.3f}), mean MSE "
         f"{r['dgmr_crps_finetuned']['mse']:.4f}.",
         "",
+        *_frontier_lines(r),
         "| t | persistence | optical_flow | cloudgan | pix2pix | "
         "dgmr@stochastic |",
         "|---|---|---|---|---|---|",

@@ -1,0 +1,257 @@
+"""48-step horizon study: the reference's FULL evaluation protocol length.
+
+The reference's baseline study warps and scores 48 lead steps — 4 hours at
+5-min cadence (reference satflow/baseline/optical_flow.py:67-74, per-channel
+x 48-step loss arrays at :85-90) — and its published curves show long-horizon
+error compounding. The 32px/12-step study (tools/accuracy_gate.py) never
+demonstrates that, so this tool runs one full-protocol arm set at
+forecast_steps=48 and 64px: persistence, Farneback flow, ConvLSTM
+(autoregressive 48-step rollout), Unet (48 lead times as output channels),
+and MetNet at its pooled output grid. Gate (tests/test_accuracy.py): each
+trained full-res model beats BOTH baselines at the full-horizon mean AND at
+the final step t=47; MetNet beats persistence at its grid (the flow arm at
+the pooled grid is a near-oracle on deterministic advection — see
+docs/ACCURACY.md MetNet section).
+
+Measured baselines at this geometry (flow compounds like the published
+curves): flow 0.00009 (t=0) -> 0.0037 (t=11) -> 0.0018 (t=47), mean 0.0025;
+persistence mean 0.0082.
+
+Usage: python tools/horizon_gate.py [--arms baselines,convlstm,unet,metnet]
+       (TPU recommended; results merge into docs/horizon_results.json and the
+       "## 48-step horizon" section of docs/ACCURACY.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+# velocity (1,1) over 48 steps traverses 48 of the 64px (torus wrap: the
+# analog of clouds leaving/entering the frame); decay 0.985 keeps ~48% of
+# the intensity at t=47 so the decay signal survives the full horizon
+DS48 = dict(batch_size=8, width=64, height=64, number_sat_channels=1,
+            history_minutes=15, forecast_minutes=240, velocity=(1, 1),
+            decay=0.985, n_blobs=4)
+STEPS = 48
+
+ALL_ARMS = ("baselines", "convlstm", "unet", "metnet")
+
+RESULTS_PATH = "docs/horizon_results.json"
+
+
+def _to_metnet_grid(frames):
+    # (F, 64, 64) -> center-crop 16 -> avg-pool 4x -> (F, 4, 4); numpy
+    # mirror of crop_center + _avg_pool_frames in the MetNet model
+    f, h, w = frames.shape
+    sh, sw = (h - 16) // 2, (w - 16) // 2
+    crop = frames[:, sh:sh + 16, sw:sw + 16]
+    return crop.reshape(f, 4, 4, 4, 4).mean(axis=(2, 4))
+
+
+def make_dm():
+    from satflow_tpu.data.datamodule import SatFlowDataModule
+    from satflow_tpu.data.fake import DecayingAdvectionDataset
+
+    class DecayDM(SatFlowDataModule):
+        def __init__(self, **kwargs):
+            super().__init__(fake_data=True, num_workers=0, shard=False,
+                             **kwargs)
+
+        def _dataset(self, split, n):
+            seed = {"train": 0, "validation": 100, "test": 200}[split]
+            return DecayingAdvectionDataset(length=12, seed=seed, **DS48)
+
+    return DecayDM()
+
+
+def main(arms=None):
+    from satflow_tpu.baseline.optical_flow import run_baseline
+    from satflow_tpu.core.registry import create_model
+    from satflow_tpu.core.utils import setup_compilation_cache
+    from satflow_tpu.data.fake import DecayingAdvectionDataset
+    from satflow_tpu.eval.evaluate import evaluate_model
+    from satflow_tpu.train.engine import Trainer
+    import satflow_tpu.models  # noqa: F401
+
+    arms = set(arms or ALL_ARMS)
+    unknown = arms - set(ALL_ARMS)
+    if unknown:
+        raise SystemExit(
+            f"unknown --arms {sorted(unknown)}; valid: {list(ALL_ARMS)}"
+        )
+    setup_compilation_cache()
+    eval_ds = DecayingAdvectionDataset(length=3, seed=300, **DS48)
+
+    results = {}
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
+
+    if "baselines" in arms:
+        base = run_baseline(eval_ds, forecast_steps=STEPS,
+                            flow_method="farneback", max_batches=3)
+        results["persistence"] = {
+            "mse_t": np.mean(base["baseline_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base["baseline_loss"])),
+        }
+        results["optical_flow"] = {
+            "mse_t": np.mean(base["flow_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base["flow_loss"])),
+        }
+        base_m = run_baseline(eval_ds, forecast_steps=STEPS,
+                              flow_method="farneback", max_batches=3,
+                              target_view=_to_metnet_grid)
+        results["persistence@metnet_grid"] = {
+            "mse_t": np.mean(base_m["baseline_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_m["baseline_loss"])),
+        }
+        results["optical_flow@metnet_grid"] = {
+            "mse_t": np.mean(base_m["flow_loss"], axis=0).tolist(),
+            "mse": float(np.mean(base_m["flow_loss"])),
+        }
+
+    def _eval_into(name, model, trainer, epochs, eval_set=None):
+        variables = {"params": trainer.state.params,
+                     **trainer.state.model_state}
+        curves = evaluate_model(model, variables, eval_set or eval_ds,
+                                max_batches=3, compute_ms_ssim=True)
+        results[name] = {
+            "mse_t": np.mean(curves["mse"], axis=0).tolist(),
+            "mse": float(np.mean(curves["mse"])),
+            "ms_ssim": float(np.mean(curves["ms_ssim"])),
+            "epochs": epochs,
+        }
+        print(name, "mse", results[name]["mse"],
+              "final", results[name]["mse_t"][-1])
+
+    # --- ConvLSTM arm: the 48-step AUTOREGRESSIVE rollout — the hardest
+    # long-horizon setting (feedback drift compounds with lead time) --------
+    if "convlstm" in arms:
+        # 60 epochs @ hidden 32 underfit the 48-output task (t=0 MSE 0.0054
+        # — worse than persistence; mean 0.0029 vs flow's 0.0025); the
+        # mean-gate recipe needs the capacity + budget below
+        epochs_c = 150
+        model = create_model(
+            "encoderdecoderconvlstm", input_channels=1, out_channels=1,
+            forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
+        )
+        trainer = Trainer(max_epochs=epochs_c, log_every_n_steps=500, seed=0)
+        trainer.fit(model, make_dm())
+        _eval_into("convlstm", model, trainer, epochs_c)
+
+    # --- Unet arm: single-shot, all 48 lead times as output channels
+    # (reference unet.py:24-31 convention); depth 4 so the receptive field
+    # spans the 48px full-horizon displacement -----------------------------
+    if "unet" in arms:
+        # same underfit story as the ConvLSTM arm: 60ep/f32 gave mean
+        # 0.0027 vs flow's 0.0025 — wider stem + longer budget closes it
+        epochs_u = 150
+        unet = create_model(
+            "unet", input_channels=4, forecast_steps=STEPS,
+            channels_per_timestep=1, features_start=64, depth=4, lr=1e-3,
+        )
+        trainer = Trainer(max_epochs=epochs_u, log_every_n_steps=500, seed=0)
+        trainer.fit(unet, make_dm())
+        _eval_into("unet", unet, trainer, epochs_u)
+
+    # --- MetNet arm at its pooled output grid ------------------------------
+    if "metnet" in arms:
+        epochs_m = 100
+        metnet = create_model(
+            "litmetnet", input_channels=1, sat_channels=1, output_channels=1,
+            input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
+            warmup_steps=100, total_steps=epochs_m * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
+        trainer.fit(metnet, make_dm())
+        _eval_into("metnet", metnet, trainer, epochs_m)
+
+    os.makedirs("docs", exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=2)
+    _write_md(results)
+    print(json.dumps({k: v.get("mse") for k, v in results.items()}))
+
+
+_FULL_RES = ("persistence", "optical_flow", "convlstm", "unet")
+_GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
+
+MARKER = "## 48-step horizon"
+
+
+def _section(r):
+    steps = len(r["persistence"]["mse_t"])
+    lines = [
+        MARKER + " — the reference's full protocol length",
+        "",
+        "The reference warps and scores 48 lead steps (4 h at 5-min",
+        "cadence, reference baseline/optical_flow.py:67-74); its published",
+        "curves show long-horizon error compounding. This study runs the",
+        "full protocol at 64px/48 steps on decaying advection with torus",
+        "wrap (the analog of clouds leaving/entering the frame): the flow",
+        "arm compounds from near-zero to ~0.004 and back down with the",
+        "field's decay, and each trained model must beat BOTH baselines at",
+        "the full-horizon mean AND at the final step t=47. Reproduce:",
+        "`python tools/horizon_gate.py`; gated in `tests/test_accuracy.py`.",
+        "",
+        "| Method | Mean MSE | Final-step MSE (t=47) |",
+        "|---|---|---|",
+    ]
+    for name in _FULL_RES + _GRID:
+        if name not in r:
+            continue
+        lines.append(f"| {name} | {r[name]['mse']:.5f} | "
+                     f"{r[name]['mse_t'][-1]:.5f} |")
+    present = [n for n in _FULL_RES + _GRID if n in r]
+    lines += ["", "| t | " + " | ".join(present) + " |",
+              "|" + "---|" * (1 + len(present))]
+    for t in range(steps):
+        row = [str(t)] + [f"{r[n]['mse_t'][t]:.5f}" for n in present]
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def _write_md(r):
+    """Insert/replace this tool's section in docs/ACCURACY.md.
+
+    The section lives between the accuracy study's tables (owned by
+    tools/accuracy_gate.py, which preserves everything from this MARKER on)
+    and the GAN section (owned by tools/gan_gate.py).
+    """
+    path = "docs/ACCURACY.md"
+    doc = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = f.read()
+    section = _section(r) + "\n"
+    # section order in ACCURACY.md: study tables -> 48-step horizon ->
+    # 256px production geometry -> GAN family
+    next_markers = ("## 256px production geometry", "## GAN family")
+    nexts = [doc.index(m) for m in next_markers if m in doc]
+    if MARKER in doc:
+        start = doc.index(MARKER)
+        end = min([i for i in nexts if i > start], default=len(doc))
+        doc = doc[:start] + section + doc[end:]
+    elif nexts:
+        i = min(nexts)
+        doc = doc[:i] + section + doc[i:]
+    else:
+        doc = doc + "\n" + section
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--arms", default=None,
+                   help=f"comma list of arms; default all of "
+                        f"{','.join(ALL_ARMS)}")
+    a = p.parse_args()
+    main(a.arms.split(",") if a.arms else None)
