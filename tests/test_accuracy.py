@@ -394,3 +394,44 @@ def test_horizon_study_artifact_full_protocol():
     assert m["mse"] < f_gs < p_gs
     assert m["mse_t"][-1] < r["persistence@metnet_grid_stoch"]["mse_t"][-1]
 
+def test_accuracy_256_artifact_production_geometry():
+    """256px production-geometry gate over the committed study artifact
+    (tools/accuracy_256.py trains the flagship at the bench.py rollout shape
+    — 256px, batch 8, 24 lead times — on TPU), recording MS-SSIM (the north
+    star's "at matching MS-SSIM" clause, BASELINE.md).
+
+    Deterministic arm: Farneback at 256px recovers the exactly-estimable
+    super-pixel motion and is near-oracle (measured 0.00030 vs persistence
+    0.00186) — the same regime caveat as the 48-step horizon study — so the
+    gate there is model-beats-persistence with high MS-SSIM and the flow
+    number recorded. The @256px_stoch arm (future velocity redrawn at the
+    boundary — the real-data-regime reconstruction) carries the full
+    three-way gate: the trained conditional mean beats BOTH baselines."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "accuracy_256.json")
+    with open(path) as f:
+        r = json.load(f)
+    flow = r["optical_flow@256px"]["mse"]
+    persist = r["persistence@256px"]["mse"]
+    assert flow < persist
+    m = r["convlstm@256px"]
+    assert len(m["mse_t"]) == 24  # the production rollout length
+    assert m["mse"] < persist, (
+        f"convlstm@256px {m['mse']:.5f} must beat persistence {persist:.5f}"
+    )
+    assert m["mse_t"][-1] < r["persistence@256px"]["mse_t"][-1]
+    assert m["ms_ssim"] > 0.9  # structural fidelity at production geometry
+    # stochastic-future arm: the real three-way gate at production geometry
+    f_s = r["optical_flow@256px_stoch"]["mse"]
+    p_s = r["persistence@256px_stoch"]["mse"]
+    assert f_s < p_s  # flow functioning, not an oracle, in this regime
+    ms = r["convlstm@256px_stoch"]
+    assert len(ms["mse_t"]) == 24
+    assert ms["mse"] < f_s < p_s, (
+        f"convlstm@256px_stoch {ms['mse']:.5f} must beat flow {f_s:.5f} "
+        f"and persistence {p_s:.5f}"
+    )
+    assert ms["mse_t"][-1] < r["persistence@256px_stoch"]["mse_t"][-1]

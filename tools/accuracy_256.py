@@ -11,7 +11,16 @@ record MS-SSIM (the north star's "at matching MS-SSIM" clause,
 BASELINE.md). Gated by tests/test_accuracy.py (artifact) and
 tests/test_tpu_smoke.py (live hardware run).
 
-Usage (TPU): python tools/accuracy_256.py [--epochs 8]
+On DETERMINISTIC advection the Farneback arm at 256px is near-oracle (the
+generating motion is exactly estimable; measured flow 0.00030 vs persistence
+0.00186, model 0.00039 at 96 steps) — the same regime caveat as the 48-step
+horizon study — so the deterministic arm gates the model against persistence
+with MS-SSIM recorded, and `--stochastic` reruns the protocol on
+StochasticAdvectionDataset (future velocity redrawn at the boundary, the
+real-data-regime reconstruction) where the trained conditional mean must
+beat BOTH baselines.
+
+Usage (TPU): python tools/accuracy_256.py [--epochs 8] [--stochastic]
 Writes docs/accuracy_256.json + a "## 256px production geometry" section in
 docs/ACCURACY.md.
 """
@@ -37,9 +46,13 @@ RESULTS_PATH = "docs/accuracy_256.json"
 MARKER = "## 256px production geometry"
 
 
-def make_dm():
+def make_dm(stochastic=False):
     from satflow_tpu.data.datamodule import SatFlowDataModule
-    from satflow_tpu.data.fake import DecayingAdvectionDataset
+    from satflow_tpu.data.fake import (DecayingAdvectionDataset,
+                                       StochasticAdvectionDataset)
+
+    cls = StochasticAdvectionDataset if stochastic else \
+        DecayingAdvectionDataset
 
     class DecayDM(SatFlowDataModule):
         def __init__(self, **kwargs):
@@ -48,39 +61,47 @@ def make_dm():
 
         def _dataset(self, split, n):
             seed = {"train": 0, "validation": 100, "test": 200}[split]
-            return DecayingAdvectionDataset(length=12, seed=seed, **DS256)
+            return cls(length=12, seed=seed, **DS256)
 
     return DecayDM()
 
 
-def main(epochs: int = 8):
+def main(epochs: int = 8, stochastic: bool = False):
     import jax.numpy as jnp
 
     from satflow_tpu.baseline.optical_flow import run_baseline
     from satflow_tpu.core.registry import create_model
     from satflow_tpu.core.utils import setup_compilation_cache
-    from satflow_tpu.data.fake import DecayingAdvectionDataset
+    from satflow_tpu.data.fake import (DecayingAdvectionDataset,
+                                       StochasticAdvectionDataset)
     from satflow_tpu.eval.evaluate import evaluate_model
     from satflow_tpu.train.engine import Trainer
     import satflow_tpu.models  # noqa: F401
 
     setup_compilation_cache()
-    eval_ds = DecayingAdvectionDataset(length=2, seed=300, **DS256)
+    ds_cls = StochasticAdvectionDataset if stochastic else \
+        DecayingAdvectionDataset
+    sfx = "@256px_stoch" if stochastic else "@256px"
+    eval_ds = ds_cls(length=2, seed=300, **DS256)
+
+    # incremental reruns (--stochastic) merge into the existing study
+    results = {}
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
 
     base = run_baseline(eval_ds, forecast_steps=STEPS,
                         flow_method="farneback", max_batches=2)
-    results = {
-        "persistence@256px": {
-            "mse_t": np.mean(base["baseline_loss"], axis=0).tolist(),
-            "mse": float(np.mean(base["baseline_loss"])),
-        },
-        "optical_flow@256px": {
-            "mse_t": np.mean(base["flow_loss"], axis=0).tolist(),
-            "mse": float(np.mean(base["flow_loss"])),
-        },
+    results["persistence" + sfx] = {
+        "mse_t": np.mean(base["baseline_loss"], axis=0).tolist(),
+        "mse": float(np.mean(base["baseline_loss"])),
     }
-    print("persistence", results["persistence@256px"]["mse"],
-          "flow", results["optical_flow@256px"]["mse"], flush=True)
+    results["optical_flow" + sfx] = {
+        "mse_t": np.mean(base["flow_loss"], axis=0).tolist(),
+        "mse": float(np.mean(base["flow_loss"])),
+    }
+    print("persistence", results["persistence" + sfx]["mse"],
+          "flow", results["optical_flow" + sfx]["mse"], flush=True)
 
     # the convergence smoke's recipe (docs/DESIGN.md): fused cells, sqrt
     # remat (chunk 6 ~ sqrt(24)), bf16 compute, Adam 2e-4 — 256px training
@@ -92,13 +113,13 @@ def main(epochs: int = 8):
     )
     trainer = Trainer(max_epochs=epochs, log_every_n_steps=12, seed=0,
                       limit_val_batches=1)
-    trainer.fit(model, make_dm())
+    trainer.fit(model, make_dm(stochastic=stochastic))
 
     variables = {"params": trainer.state.params,
                  **trainer.state.model_state}
     curves = evaluate_model(model, variables, eval_ds, max_batches=2,
                             compute_ms_ssim=True)
-    results["convlstm@256px"] = {
+    results["convlstm" + sfx] = {
         "mse_t": np.mean(curves["mse"], axis=0).tolist(),
         "mse": float(np.mean(curves["mse"])),
         "ms_ssim_t": np.asarray(curves["ms_ssim"]).tolist(),
@@ -106,8 +127,8 @@ def main(epochs: int = 8):
         "epochs": epochs,
         "optimizer_steps": epochs * 12,
     }
-    print("convlstm@256px mse", results["convlstm@256px"]["mse"],
-          "ms_ssim", results["convlstm@256px"]["ms_ssim"], flush=True)
+    print("convlstm" + sfx, "mse", results["convlstm" + sfx]["mse"],
+          "ms_ssim", results["convlstm" + sfx]["ms_ssim"], flush=True)
 
     os.makedirs("docs", exist_ok=True)
     with open(RESULTS_PATH, "w") as f:
@@ -128,20 +149,28 @@ def _section(r):
         "bf16, the docs/DESIGN.md convergence-smoke recipe) and scored",
         "against persistence + Farneback flow at that same geometry, with",
         "MS-SSIM recorded (the north star's \"at matching MS-SSIM\" clause).",
-        "Reproduce: `python tools/accuracy_256.py` (TPU); gated by",
+        "On deterministic advection the flow arm at 256px is near-oracle",
+        "(exactly estimable super-pixel motion), so the deterministic gate",
+        "is model-beats-persistence + MS-SSIM; the `@256px_stoch` arm",
+        "(future velocity redrawn at the boundary — the real-data regime)",
+        "carries the full three-way gate. Reproduce:",
+        "`python tools/accuracy_256.py [--stochastic]` (TPU); gated by",
         "`tests/test_accuracy.py` (artifact) and `tests/test_tpu_smoke.py`",
         "(live).",
         "",
         "| Method | Mean MSE | Final-step MSE (t=23) | Mean MS-SSIM |",
         "|---|---|---|---|",
-        f"| persistence@256px | {r['persistence@256px']['mse']:.5f} | "
-        f"{r['persistence@256px']['mse_t'][-1]:.5f} | - |",
-        f"| optical_flow@256px | {r['optical_flow@256px']['mse']:.5f} | "
-        f"{r['optical_flow@256px']['mse_t'][-1]:.5f} | - |",
-        f"| convlstm@256px | {m['mse']:.5f} | {m['mse_t'][-1]:.5f} | "
-        f"{m['ms_ssim']:.4f} |",
-        "",
     ]
+    for name in ("persistence@256px", "optical_flow@256px", "convlstm@256px",
+                 "persistence@256px_stoch", "optical_flow@256px_stoch",
+                 "convlstm@256px_stoch"):
+        if name not in r:
+            continue
+        row = r[name]
+        ms = f"{row['ms_ssim']:.4f}" if "ms_ssim" in row else "-"
+        lines.append(f"| {name} | {row['mse']:.5f} | "
+                     f"{row['mse_t'][-1]:.5f} | {ms} |")
+    lines.append("")
     return "\n".join(lines)
 
 
@@ -171,5 +200,6 @@ def _write_md(r):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--stochastic", action="store_true", default=False)
     a = p.parse_args()
-    main(a.epochs)
+    main(a.epochs, stochastic=a.stochastic)
