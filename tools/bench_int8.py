@@ -36,6 +36,7 @@ def main():
     p.add_argument("--unroll", type=int, default=8)
     p.add_argument("--block-h", default="8,16,32",
                    help="comma list of int8 block_h values to sweep")
+    p.add_argument("--iters", type=int, default=4)
     args = p.parse_args()
 
     import jax
@@ -57,39 +58,56 @@ def main():
     variables = core.init(jax.random.PRNGKey(0), x[:1])
     params = variables["params"]
 
-    def timed(fn, *a):
-        y = fn(*a)
-        jax.block_until_ready(y)  # compile
+    # Chained-scan timing (the bench_zoo.py methodology): each iteration's
+    # input depends on the previous OUTPUT so XLA cannot hoist the rollout
+    # out of the loop, and exactly one scalar crosses the tunnel — a plain
+    # block_until_ready on this tunneled backend returns at dispatch time
+    # and reports millions of frames/s.
+    iters = args.iters
+
+    def timed(apply_fn, *a):
+        @jax.jit
+        def chained(*a):
+            def body(eps, _):
+                out = apply_fn(*a[:-1], a[-1] + eps)
+                eps_next = jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-12
+                return eps_next.astype(a[-1].dtype), None
+            eps, _ = jax.lax.scan(body, jnp.zeros((), a[-1].dtype), None,
+                                  length=iters)
+            return jnp.sum(eps)
+
+        float(chained(*a))  # compile
         t0 = time.perf_counter()
-        y = fn(*a)
-        jax.block_until_ready(y)
-        return time.perf_counter() - t0
+        float(chained(*a))
+        return (time.perf_counter() - t0) / iters
 
     # bf16 reference rollout (the bench.py forward path)
-    fwd = jax.jit(lambda v, xx: core.apply(v, xx))
-    dt = timed(fwd, variables, x)
+    dt = timed(lambda v, xx: core.apply(v, xx), variables, x)
     bf16_fps = b * args.steps / dt
     print(json.dumps({"metric": f"bf16 rollout {s}px b{b} F{args.steps}",
-                      "value": round(bf16_fps, 1), "unit": "frames/s"}))
+                      "value": round(bf16_fps, 1), "unit": "frames/s"}),
+          flush=True)
 
     qparams = i8.quantize_convlstm_params(params)
-    roll = jax.jit(lambda qp, xx: i8.int8_rollout(qp, xx, args.steps,
-                                                  unroll=args.unroll))
     for bh in [int(v) for v in args.block_h.split(",")]:
         i8._BLOCK_H = bh  # module default consumed per-call by the kernel
         jax.clear_caches()  # block_h is baked into the traced kernel
         try:
-            dt = timed(roll, qparams, x)
+            dt = timed(
+                lambda qp, xx: i8.int8_rollout(qp, xx, args.steps,
+                                               unroll=args.unroll),
+                qparams, x,
+            )
         except Exception as e:  # noqa: BLE001 - report the failing config
             print(json.dumps({"metric": f"int8 rollout bh={bh}",
-                              "error": str(e)[:200]}))
+                              "error": str(e)[:200]}), flush=True)
             continue
         fps = b * args.steps / dt
         print(json.dumps({
             "metric": f"int8 rollout {s}px b{b} F{args.steps} bh={bh}",
             "value": round(fps, 1), "unit": "frames/s",
             "vs_bf16": round(fps / bf16_fps, 3),
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":
