@@ -135,10 +135,14 @@ def shard_batch(batch, mesh: Optional[Mesh] = None,
 
     ``spatial_axis`` (default: the axis bound by ``mesh_scope`` — set by the
     trainer's ``spatial=DxM`` mode) additionally shards the H dimension of
-    image-like leaves (rank ≥ 4, H at dim ``ndim-3``: (B,T,H,W,C) and
-    (B,H,W,C)) over that mesh axis, so the spatial shard_map rollout reads
-    its rows in place instead of forcing an SPMD replicate-then-reshard of
-    the whole batch at the mesh boundary every step.
+    image-like leaves (H at dim ``ndim-3``: (B,T,H,W,C) and (B,H,W,C)) over
+    that mesh axis, so the spatial shard_map rollout reads its rows in place
+    instead of forcing an SPMD replicate-then-reshard of the whole batch at
+    the mesh boundary every step. A dict-keyed leaf gets the spatial spec
+    only when its key is a known image key (``sat_data``/``topo_data``) — a
+    pure rank heuristic would silently H-"shard" e.g. the (B,10,T,2,2) NWP
+    leaf on its T dim, reintroducing the per-step reshard this exists to
+    remove. Bare (non-dict) arrays of rank ≥ 4 are assumed image-like.
     """
     mesh = mesh or get_mesh()
     if spatial_axis is None:
@@ -147,7 +151,7 @@ def shard_batch(batch, mesh: Optional[Mesh] = None,
         spatial_axis = None
     rep_sh = replicated_sharding(mesh)
 
-    def put(x):
+    def put(path, x):
         x = np.asarray(x)
         batched = x.ndim > 0 and x.shape[0] % mesh.shape["data"] == 0
         if not batched and x.ndim > 0 and x.shape[0] > 1:
@@ -158,6 +162,7 @@ def shard_batch(batch, mesh: Optional[Mesh] = None,
         if (
             spatial_axis is not None
             and x.ndim >= 4
+            and _spatial_leaf(path)
             and x.shape[x.ndim - 3] % mesh.shape[spatial_axis] == 0
         ):
             spec[x.ndim - 3] = spatial_axis
@@ -165,7 +170,19 @@ def shard_batch(batch, mesh: Optional[Mesh] = None,
             return put_global(x, rep_sh)
         return put_global(x, NamedSharding(mesh, P(*spec)))
 
-    return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map_with_path(put, batch)
+
+
+# Leaves whose dim ndim-3 is really H (NHWC video / image); see shard_batch.
+_SPATIAL_LEAF_KEYS = frozenset({"sat_data", "topo_data"})
+
+
+def _spatial_leaf(path) -> bool:
+    dict_keys = [p.key for p in path
+                 if isinstance(p, jax.tree_util.DictKey)]
+    if dict_keys:
+        return dict_keys[-1] in _SPATIAL_LEAF_KEYS
+    return True  # bare array / tuple-of-arrays call sites pass images
 
 
 _WARNED_INDIVISIBLE = set()

@@ -212,10 +212,21 @@ def convlstm_spatial_forward(
         # single-process mesh (or under jit, where device_put is a sharding
         # constraint): plain device_put keeps TPU-resident inputs on-device
         x = jax.device_put(x, target)
-    elif getattr(x, "sharding", None) != target:
-        # multi-process mesh: no one process can address every shard, so
-        # each contributes its local shards of the (identical) host value
-        from satflow_tpu.parallel.mesh import put_global
+    else:
+        # multi-process mesh: no one process can address every shard.
+        sh = getattr(x, "sharding", None)
+        # equivalence, not ==: a full-rank spec from shard_batch (e.g.
+        # P('data',None,'model',None,None)) IS this target with trailing
+        # Nones, but compares unequal — and feeding an already-placed
+        # global jax.Array to put_global would np.asarray a
+        # non-fully-addressable array and raise
+        if sh is not None and isinstance(x, jax.Array):
+            if not sh.is_equivalent_to(target, x.ndim):
+                x = jax.device_put(x, target)
+        else:
+            # host value: each process contributes its local shards of the
+            # (identical) host value
+            from satflow_tpu.parallel.mesh import put_global
 
-        x = put_global(x, target)
+            x = put_global(x, target)
     return sharded(params, x)

@@ -61,6 +61,7 @@ class Trainer:
         profile_dir: str = "logs/profile",
         zero_sharding: bool = False,
         spatial: Optional[str] = None,
+        gan_step_mode: str = "fused",
         handle_preemption: bool = True,
         callbacks: Optional[List] = None,
         logger: Optional[List[BaseLogger]] = None,
@@ -90,6 +91,11 @@ class Trainer:
         self.profile_dir = profile_dir
         self.zero_sharding = zero_sharding
         self.spatial = spatial
+        # "fused" = one XLA program per adversarial round; "split" = separate
+        # D/G jits (Lightning's two optimizer closures, reference
+        # cloudgan.py:244-248) — use for big GAN geometries where the fused
+        # program's compile time is pathological (DGMR 128px F24).
+        self.gan_step_mode = gan_step_mode
         self.handle_preemption = handle_preemption
         self.callbacks = list(callbacks or [])
         self.history = HistoryLogger()
@@ -174,7 +180,7 @@ class Trainer:
         self._build_state(model, rng, train_loader)
 
         if model.is_gan:
-            train_step = make_gan_train_step(model)
+            train_step = make_gan_train_step(model, mode=self.gan_step_mode)
             eval_step = make_gan_eval_step(model)
         else:
             train_step = make_train_step(model)

@@ -98,6 +98,25 @@ def main() -> None:
     for i, leaf in enumerate(jax.tree_util.tree_leaves(s_grads)):
         arrays[f"g{i}"] = np.asarray(leaf)
 
+    # --- FULL spatial train step across the boundary: grad through the halo
+    # ppermute transpose AND the optimizer update in one jitted program —
+    # the spatial trainer's per-step shape, 2-process (VERDICT r4 #10;
+    # reference trainer surface: satflow/configs/trainer/ddp.yaml:1-6).
+    import optax
+
+    tx = optax.adam(1e-3)
+    opt0 = jax.jit(tx.init)(params_g)
+
+    @jax.jit
+    def sp_train(p, o, xg):
+        loss, grads = jax.value_and_grad(sp_loss)(p, xg)
+        u, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    new_p, _, _ = sp_train(params_g, opt0, xs_g)
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(new_p)):
+        arrays[f"sp{i}"] = np.asarray(leaf)
+
     if pid == 0:
         np.savez(out, loss=np.float32(loss), **arrays)
 

@@ -309,17 +309,27 @@ def test_dgmr_study_artifact_quality():
     assert r["oracle_crps"] < s["crps"]  # the documented diversity gap
     assert len(s["trajectory"]) >= 10  # the selection curve is in the artifact
     # Fair-CRPS fine-tune (train/probabilistic.py): the proper-score
-    # fine-tune must improve CRPS over the selected checkpoint, keep the
-    # mean-MSE win, and RESTORE sample diversity — the measured answer to
-    # the accuracy-vs-diversity gap (std back to a meaningful fraction of
-    # the oracle's spread from ~1e-5 collapse)
+    # fine-tune must improve the TRUE CRPS (fair M=8 estimator — the r4
+    # frontier run showed the reference-protocol M=3 classic estimator's
+    # 1/(2M^2) spread coefficient under-credits calibrated spread, so a
+    # diversity-restored sampler looks WORSE on it; docs/ACCURACY.md GAN
+    # section) over the selected checkpoint, keep the mean-MSE win, and
+    # RESTORE sample diversity to the oracle's scale — the r3 frontier
+    # target, closed: std >= 50% of the oracle 3-mode sampler's spread.
     ft = r["dgmr_crps_finetuned"]
-    assert ft["crps"] < s["crps"]
+    assert ft["crps_fair_m8"] < s["crps_fair_m8"]
     assert ft["mse"] < r["persistence@stochastic"]["mse"]
     assert ft["sample_std"] > 50 * s["sample_std"]
-    assert ft["sample_std"] > 0.1 * r["oracle_sample_std"]
+    assert ft["sample_std"] > 0.5 * r["oracle_sample_std"]
     assert len(ft["fair_crps_history"]) >= 3
     assert ft["fair_crps_history"][-1] < ft["fair_crps_history"][0]
+    # the frontier itself is in the artifact: >= 4 measured points with
+    # monotone spread recovery and monotone true-CRPS improvement vs step 0
+    frontier = ft["frontier"]
+    assert len(frontier) >= 4
+    stds = [p["sample_std"] for p in frontier]
+    assert all(b >= a for a, b in zip(stds, stds[1:]))
+    assert all(p["crps_fair_m8"] < s["crps_fair_m8"] for p in frontier)
 
 
 def test_horizon_study_artifact_full_protocol():

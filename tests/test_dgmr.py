@@ -135,3 +135,47 @@ def test_dgmr_gan_step(rng):
     state, metrics = step(state, batch, rng)
     assert _finite(metrics["g_loss"]) and _finite(metrics["d_loss"])
     assert _finite(metrics["g_grid_reg"])
+
+
+def test_dgmr_split_step_matches_fused(rng):
+    """Split D/G jits (gan_step_mode='split', the DGMR-at-scale compile
+    lever) must be numerically equivalent to the fused single-program step:
+    identical rng derivation, same op sequence, only program boundaries
+    differ. Two steps chained through donated state, dual-disc (disc_steps=2)
+    exercised. Reference parity anchor: cloudgan.py:244-248 (Lightning's two
+    optimizer closures are the split shape)."""
+    model = _tiny_dgmr()
+    model.disc_steps = 2
+    batch = _batch()
+
+    def run(mode):
+        g_vars, d_vars = model.init_gan_variables(rng, batch)
+        g_params, g_state = model.split_variables(g_vars)
+        d_params, d_state = model.split_variables(d_vars)
+        g_tx, d_tx = model.make_optimizers()
+        state = GANTrainState.create(
+            g_params, d_params, {"g": g_state, "d": d_state}, g_tx, d_tx
+        )
+        step = make_gan_train_step(model, mode=mode)
+        r = rng
+        for _ in range(2):
+            r, sub = jax.random.split(r)
+            state, metrics = step(state, batch, sub)
+        return state, metrics
+
+    fused_state, fused_m = run("fused")
+    split_state, split_m = run("split")
+    # step counts one per D application (disc_steps=2 x 2 rounds = 4)
+    assert int(split_state.step) == int(fused_state.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(fused_state.g_params),
+                    jax.tree_util.tree_leaves(split_state.g_params)):
+        assert jnp.allclose(a, b, atol=1e-5), "generator params diverged"
+    for a, b in zip(jax.tree_util.tree_leaves(fused_state.d_params),
+                    jax.tree_util.tree_leaves(split_state.d_params)):
+        assert jnp.allclose(a, b, atol=1e-5), "discriminator params diverged"
+    for k in ("g_loss", "d_loss"):
+        assert jnp.allclose(fused_m[k], split_m[k], atol=1e-5), k
+    assert bool(split_m["finite"])
+
+    with pytest.raises(ValueError):
+        make_gan_train_step(model, mode="both")

@@ -456,6 +456,19 @@ def test_cross_process_dp_collective(tmp_path):
         np.testing.assert_allclose(got[f"g{i}"], np.asarray(ref_g),
                                    atol=1e-4, rtol=1e-4)
 
+    # --- FULL spatial train step 2-process: the workers also applied an Adam
+    # update from those halo-exchange gradients in one jitted program; the
+    # updated params must match the same update computed from the dense
+    # single-process rollout's gradients.
+    import optax
+
+    tx = optax.adam(1e-3)
+    u, _ = tx.update(ref_sgrads, tx.init(vs["params"]), vs["params"])
+    ref_new = optax.apply_updates(vs["params"], u)
+    for i, ref_p in enumerate(jax.tree_util.tree_leaves(ref_new)):
+        np.testing.assert_allclose(got[f"sp{i}"], np.asarray(ref_p),
+                                   atol=1e-4, rtol=1e-4)
+
 
 def test_spatial_trainer_fit():
     """trainer.spatial="2x4" trains the fused ConvLSTM end-to-end with the

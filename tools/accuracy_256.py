@@ -138,14 +138,19 @@ def main(epochs: int = 8, stochastic: bool = False):
 
 
 def _section(r):
-    m = r["convlstm@256px"]
+    # a stochastic-only first run has no deterministic arm yet; fall back to
+    # the @256px_stoch row so the (post-training!) markdown write survives
+    m = r.get("convlstm@256px") or r.get("convlstm@256px_stoch") or {}
+    budget = (f"({m['optimizer_steps']} optimizer steps, fused cells + "
+              "sqrt remat," if "optimizer_steps" in m
+              else "(fixed optimizer-step budget, fused cells + sqrt remat,")
     lines = [
         MARKER,
         "",
         "The 32px study above is CPU-budget CI; this arm gates the flagship",
         "at the PRODUCTION geometry — 256px, batch 8, 24 lead times, the",
         "bench.py rollout shape — trained on TPU hardware to a fixed budget",
-        f"({m['optimizer_steps']} optimizer steps, fused cells + sqrt remat,",
+        budget,
         "bf16, the docs/DESIGN.md convergence-smoke recipe) and scored",
         "against persistence + Farneback flow at that same geometry, with",
         "MS-SSIM recorded (the north star's \"at matching MS-SSIM\" clause).",

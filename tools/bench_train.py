@@ -50,6 +50,13 @@ def main():
                    choices=("metnet", "perceiver", "dgmr"),
                    help="bench another family's TRAIN step at its "
                         "reference-scale geometry instead of the ConvLSTM")
+    p.add_argument("--gan-step", default="fused", choices=("fused", "split"),
+                   help="GAN step mode (--model dgmr): 'fused' compiles one "
+                        "XLA program per adversarial round (chained-scan "
+                        "methodology); 'split' compiles separate D/G jits "
+                        "(reference cloudgan.py:244-248's two optimizer "
+                        "closures) and times an eager state-chained loop — "
+                        "the mode that keeps DGMR-at-128px compile bounded")
     args = p.parse_args()
 
     if args.model:
@@ -201,8 +208,12 @@ def bench_model(args):
         g_tx, d_tx = model.make_optimizers()
         state = GANTrainState.create(g_params, d_params,
                                      {"g": g_state, "d": d_state}, g_tx, d_tx)
-        step = make_gan_train_step(model)
+        step = make_gan_train_step(model, mode=args.gan_step)
         loss_key = "g_loss"
+        if args.gan_step == "split":
+            label += " split-D/G"
+            return _bench_split_gan(args, step, state, batch, F,
+                                    ds_kw["batch_size"], label, loss_key)
     else:
         variables = model.init_variables(rng, batch)
         params, model_state = model.split_variables(variables)
@@ -235,6 +246,48 @@ def bench_model(args):
     dt = (time.perf_counter() - t0) / args.iters
 
     fps = ds_kw["batch_size"] * F / dt
+    print(json.dumps({
+        "metric": f"train frames/s/chip {label}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "step_ms": round(dt * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "loss0": loss0,
+    }))
+
+
+def _bench_split_gan(args, step, state, batch, F, batch_size, label, loss_key):
+    """Eager-loop timing for the split D/G GAN step.
+
+    The chained-scan methodology would re-inline both jits into one scan body
+    (jit-of-jit inlines under tracing), recreating exactly the fat program the
+    split exists to avoid. Instead: an eager loop chained through the evolving
+    donated GANTrainState (real data dependence — XLA cannot overlap rounds),
+    one scalar fetched at the end. Valid here because a DGMR adversarial round
+    is hundreds of ms — dispatch overhead is noise at this geometry.
+    """
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    loss0 = float(jax.device_get(metrics[loss_key]))
+    compile_s = time.perf_counter() - t0
+
+    # warm loop (both halves now compiled; settle allocator)
+    rng, sub = jax.random.split(rng)
+    state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics[loss_key])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics[loss_key])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    fps = batch_size * F / dt
     print(json.dumps({
         "metric": f"train frames/s/chip {label}",
         "value": round(fps, 2),
