@@ -85,6 +85,13 @@ class PerceiverSatFlowCore(nn.Module):
     temporally_consistent_fourier_features: bool = False
     preprocessor_type: Optional[str] = None
     postprocessor_type: Optional[str] = None
+    # Rematerialize each per-lead decode in the backward pass. Without it the
+    # stepped path saves every lead step's cross/self-attention activations
+    # (O(F · tokens · dim) HBM temps — at 64px F48 b8 that is ~20 GB and the
+    # train step refuses to compile on a 16 GB chip); with it the backward
+    # recomputes one lead step at a time, the same memory/FLOPs trade the
+    # recurrent family's per-step remat makes.
+    remat_steps: bool = True
     dtype: Any = None
 
     def _core_kwargs(self) -> Dict[str, Any]:
@@ -169,8 +176,13 @@ class PerceiverSatFlowCore(nn.Module):
                 jnp.eye(self.forecast_steps, dtype=queries.dtype)[:, None, :, None],
                 (self.forecast_steps, b, self.forecast_steps, 1),
             )
+            step_cls = (
+                nn.remat(_PerLeadStep, prevent_cse=False)
+                if self.remat_steps
+                else _PerLeadStep
+            )
             scanned = nn.scan(
-                _PerLeadStep,
+                step_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=0,
@@ -241,6 +253,7 @@ class Perceiver(BaseModel):
         cross_ff_mult: int = 2,
         latent_ff_mult: int = 2,
         decoder_query_residual: bool = True,
+        remat_steps: bool = True,
         dtype: Any = None,
     ):
         self.sat_channels = sat_channels
@@ -291,6 +304,7 @@ class Perceiver(BaseModel):
         self.cross_ff_mult = cross_ff_mult
         self.latent_ff_mult = latent_ff_mult
         self.decoder_query_residual = decoder_query_residual
+        self.remat_steps = remat_steps
         self.dtype = dtype
         super().__init__(
             forecast_steps=forecast_steps,
@@ -369,6 +383,7 @@ class Perceiver(BaseModel):
             temporally_consistent_fourier_features=self.temporally_consistent_fourier_features,
             preprocessor_type=self.preprocessor_type,
             postprocessor_type=self.postprocessor_type,
+            remat_steps=self.remat_steps,
             dtype=self.dtype,
         )
 

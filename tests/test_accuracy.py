@@ -36,6 +36,7 @@ class DecayDM(SatFlowDataModule):
         return DecayingAdvectionDataset(length=8, **{**DS_KW, "seed": seed})
 
 
+@pytest.mark.slow
 def test_trained_model_beats_persistence_and_flow():
     eval_ds = DecayingAdvectionDataset(length=2, **{**DS_KW, "seed": 300})
 
@@ -67,6 +68,7 @@ def test_trained_model_beats_persistence_and_flow():
     )
 
 
+@pytest.mark.slow
 def test_trained_perceiver_beats_persistence_and_flow():
     """The Perceiver family (its own LAMB optimizer + learnable-query decode)
     must also close the accuracy loop against BOTH baselines (VERDICT r2 #4:
@@ -115,6 +117,7 @@ def _baselines(eval_ds):
     ("deeplabv3", 40, {}),
     ("pixelcnn", 20, {}),
 ])
+@pytest.mark.slow
 def test_trained_unet_family_beats_persistence_and_flow(name, epochs, extra):
     """The stacked image-to-image families (reference unet.py:24-31,
     attention_unet.py, fcn.py, deeplabv3.py — all lead times as output
@@ -146,6 +149,7 @@ def test_trained_unet_family_beats_persistence_and_flow(name, epochs, extra):
     )
 
 
+@pytest.mark.slow
 def test_trained_cloudgan_beats_baselines_without_collapse():
     """GAN quality loop (VERDICT r2 #1): CloudGAN's alternating two-optimizer
     training (reference cloudgan.py:244-248,335-362) must produce a generator
@@ -183,6 +187,7 @@ def test_trained_cloudgan_beats_baselines_without_collapse():
     assert np.isfinite(trainer.callback_metrics["train/g_adv_loss"])
 
 
+@pytest.mark.slow
 def test_trained_pix2pix_beats_baselines_without_collapse():
     """Pix2Pix quality loop: the conditional stacked-channels GAN (reference
     pix2pix.py:14-182 — unet/resnet generator + PatchGAN on

@@ -16,6 +16,9 @@ from satflow_tpu.train.state import GANTrainState
 from satflow_tpu.train.steps import make_gan_train_step
 import satflow_tpu.models  # noqa: F401
 
+# every test here compiles a GAN step or trains a sampler — the slow tier
+pytestmark = pytest.mark.slow
+
 
 def _finite(x):
     return bool(jnp.all(jnp.isfinite(x)))

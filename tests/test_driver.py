@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from satflow_tpu.core.config import compose, default_config_dir
 from satflow_tpu.core.utils import extras
@@ -100,6 +101,7 @@ def test_experiment_example_full_inline_definitions(tmp_path, monkeypatch):
     assert result is not None and np.isfinite(result)
 
 
+@pytest.mark.slow
 def test_run_cli_multirun_flag(tmp_path, monkeypatch):
     """run.main(['--multirun', ...]) enters the sweep branch end to end."""
     from satflow_tpu.run import main as run_main

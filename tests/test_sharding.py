@@ -343,6 +343,7 @@ def test_spatial_rollout_chunked_layout(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_rollout_gradients_match(rng):
     """Spatial parallelism TRAINS: jax.grad through shard_map + ppermute +
     the fused step's custom VJP equals the single-device gradient (the halo
@@ -370,6 +371,7 @@ def test_spatial_rollout_gradients_match(rng):
     assert err < 1e-4, f"spatial gradients diverge: {err}"
 
 
+@pytest.mark.slow
 def test_cross_process_dp_collective(tmp_path):
     """A REAL cross-process collective: 2 spawned processes x 4 CPU devices
     form one 8-device mesh via jax.distributed (localhost coordinator) and
@@ -470,6 +472,7 @@ def test_cross_process_dp_collective(tmp_path):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_trainer_fit():
     """trainer.spatial="2x4" trains the fused ConvLSTM end-to-end with the
     H-sharded shard_map rollout (VERDICT r2 #3: spatial parallelism as a

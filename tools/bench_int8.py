@@ -50,7 +50,7 @@ def main():
     setup_compilation_cache()
     b, t, s, c = args.batch, args.history, args.size, args.channels
     x = jnp.asarray(np.random.default_rng(0).random((b, t, s, s, c)),
-                    jnp.float32)
+                    jnp.bfloat16)
 
     core = ConvLSTMCore(hidden_dim=args.hidden, out_channels=c,
                         forecast_steps=args.steps, cell_impl="fused",
@@ -58,27 +58,28 @@ def main():
     variables = core.init(jax.random.PRNGKey(0), x[:1])
     params = variables["params"]
 
-    # Chained-scan timing (the bench_zoo.py methodology): each iteration's
-    # input depends on the previous OUTPUT so XLA cannot hoist the rollout
-    # out of the loop, and exactly one scalar crosses the tunnel — a plain
-    # block_until_ready on this tunneled backend returns at dispatch time
-    # and reports millions of frames/s.
+    # Chained-scan timing (the bench.py headline methodology): each
+    # iteration's input is the previous iteration's OUTPUT frames, so XLA
+    # cannot hoist the rollout out of the loop, and exactly one scalar
+    # crosses the tunnel (block_until_ready on this tunneled backend returns
+    # at dispatch time). The carry must be the output slice itself — an
+    # earlier x+eps variant forced a full f32 relayout copy of x inside the
+    # loop (C=12 padded to 128 lanes, 10.7x expansion -> 22.8 GB HBM OOM at
+    # this geometry) and produced garbage timings where it did run.
     iters = args.iters
 
-    def timed(apply_fn, *a):
+    def timed(apply_fn, p, x0):
         @jax.jit
-        def chained(*a):
-            def body(eps, _):
-                out = apply_fn(*a[:-1], a[-1] + eps)
-                eps_next = jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-12
-                return eps_next.astype(a[-1].dtype), None
-            eps, _ = jax.lax.scan(body, jnp.zeros((), a[-1].dtype), None,
-                                  length=iters)
-            return jnp.sum(eps)
+        def chained(p, x0):
+            def body(xc, _):
+                out = apply_fn(p, xc)
+                return out[:, :t].astype(xc.dtype), None
+            xf, _ = jax.lax.scan(body, x0, None, length=iters)
+            return jnp.sum(xf.astype(jnp.float32))
 
-        float(chained(*a))  # compile
+        float(chained(p, x0))  # compile
         t0 = time.perf_counter()
-        float(chained(*a))
+        float(chained(p, x0))
         return (time.perf_counter() - t0) / iters
 
     # bf16 reference rollout (the bench.py forward path)

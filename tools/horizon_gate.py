@@ -51,11 +51,16 @@ DS48 = dict(batch_size=8, width=64, height=64, number_sat_channels=1,
             decay=0.985, n_blobs=4)
 STEPS = 48
 
-ALL_ARMS = ("baselines", "convlstm", "unet", "metnet",
+ALL_ARMS = ("baselines", "convlstm", "unet", "metnet", "perceiver",
             "stoch_baselines", "convlstm_stoch", "unet_stoch",
-            "metnet_stoch")
+            "metnet_stoch", "perceiver_stoch", "dgmr_stoch")
 
 RESULTS_PATH = "docs/horizon_results.json"
+
+
+def _epochs(default: int) -> int:
+    """Arm training budget; SATFLOW_HORIZON_EPOCHS overrides (smoke/CI)."""
+    return int(os.environ.get("SATFLOW_HORIZON_EPOCHS", default))
 
 
 def _to_metnet_grid(frames):
@@ -153,7 +158,7 @@ def main(arms=None):
         # 60 epochs @ hidden 32 underfit the 48-output task (t=0 MSE 0.0054
         # — worse than persistence; mean 0.0029 vs flow's 0.0025); the
         # mean-gate recipe needs the capacity + budget below
-        epochs_c = 150
+        epochs_c = _epochs(150)
         model = create_model(
             "encoderdecoderconvlstm", input_channels=1, out_channels=1,
             forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
@@ -168,7 +173,7 @@ def main(arms=None):
     if "unet" in arms:
         # same underfit story as the ConvLSTM arm: 60ep/f32 gave mean
         # 0.0027 vs flow's 0.0025 — wider stem + longer budget closes it
-        epochs_u = 150
+        epochs_u = _epochs(150)
         unet = create_model(
             "unet", input_channels=4, forecast_steps=STEPS,
             channels_per_timestep=1, features_start=64, depth=4, lr=1e-3,
@@ -179,15 +184,33 @@ def main(arms=None):
 
     # --- MetNet arm at its pooled output grid ------------------------------
     if "metnet" in arms:
-        epochs_m = 100
+        epochs_m = _epochs(100)
         metnet = create_model(
             "litmetnet", input_channels=1, sat_channels=1, output_channels=1,
             input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
-            warmup_steps=100, total_steps=epochs_m * 12,
+            warmup_steps=min(100, epochs_m * 6), total_steps=epochs_m * 12,
         )
         trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
         trainer.fit(metnet, make_dm())
         _eval_into("metnet", metnet, trainer, epochs_m)
+
+    # --- Perceiver arm: the per-step query loop IS the reference's
+    # long-horizon mechanism (one-hot forecast_time conditioning per lead,
+    # reference perceiver.py:293-300,319-325 — here a lax.scan over lead
+    # times, models/perceiver.py _PerLeadStep), so the 48-step protocol is
+    # exactly the regime it exists for. predict_timesteps_together=False. --
+    if "perceiver" in arms:
+        epochs_p = _epochs(60)
+        perceiver = create_model(
+            "perceiver", input_channels=1, sat_channels=1, base_channels=1,
+            input_size=64, forecast_steps=STEPS, history_steps=4,
+            depth=3, num_latents=128, latent_dim=128, dim=48, queries_dim=48,
+            num_freq_bands=16, predict_timesteps_together=False,
+            lr=2e-3, warmup_steps=min(100, epochs_p * 6), total_steps=epochs_p * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_p, log_every_n_steps=500, seed=0)
+        trainer.fit(perceiver, make_dm())
+        _eval_into("perceiver", perceiver, trainer, epochs_p)
 
     # --- Stochastic-future arms: the reference's real-data regime at the
     # full 48-step horizon (see module docstring). The trained conditional
@@ -223,7 +246,7 @@ def main(arms=None):
               results["optical_flow@stoch"]["mse"])
 
     if "convlstm_stoch" in arms:
-        epochs_c = 150
+        epochs_c = _epochs(150)
         model = create_model(
             "encoderdecoderconvlstm", input_channels=1, out_channels=1,
             forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
@@ -234,7 +257,7 @@ def main(arms=None):
                    eval_set=eval_sto)
 
     if "unet_stoch" in arms:
-        epochs_u = 150
+        epochs_u = _epochs(150)
         unet = create_model(
             "unet", input_channels=4, forecast_steps=STEPS,
             channels_per_timestep=1, features_start=64, depth=4, lr=1e-3,
@@ -244,16 +267,61 @@ def main(arms=None):
         _eval_into("unet@stoch", unet, trainer, epochs_u, eval_set=eval_sto)
 
     if "metnet_stoch" in arms:
-        epochs_m = 100
+        epochs_m = _epochs(100)
         metnet = create_model(
             "litmetnet", input_channels=1, sat_channels=1, output_channels=1,
             input_size=64, forecast_steps=STEPS, hidden_dim=64, lr=2e-3,
-            warmup_steps=100, total_steps=epochs_m * 12,
+            warmup_steps=min(100, epochs_m * 6), total_steps=epochs_m * 12,
         )
         trainer = Trainer(max_epochs=epochs_m, log_every_n_steps=500, seed=0)
         trainer.fit(metnet, make_dm(stochastic=True))
         _eval_into("metnet@stoch", metnet, trainer, epochs_m,
                    eval_set=eval_sto)
+
+    if "perceiver_stoch" in arms:
+        epochs_p = _epochs(60)
+        perceiver = create_model(
+            "perceiver", input_channels=1, sat_channels=1, base_channels=1,
+            input_size=64, forecast_steps=STEPS, history_steps=4,
+            depth=3, num_latents=128, latent_dim=128, dim=48, queries_dim=48,
+            num_freq_bands=16, predict_timesteps_together=False,
+            lr=2e-3, warmup_steps=min(100, epochs_p * 6), total_steps=epochs_p * 12,
+        )
+        trainer = Trainer(max_epochs=epochs_p, log_every_n_steps=500, seed=0)
+        trainer.fit(perceiver, make_dm(stochastic=True))
+        _eval_into("perceiver@stoch", perceiver, trainer, epochs_p,
+                   eval_set=eval_sto)
+
+    # --- DGMR ensemble-mean arm: the probabilistic family at the full
+    # protocol length (reference nowcasting_gan.yaml num_samples: 3 — the
+    # sample MEAN is its deterministic product). Scored with the same
+    # 3-member ensemble the reference config ships; CRPS and spread are
+    # recorded alongside so collapse is visible, not hidden in the mean. --
+    if "dgmr_stoch" in arms:
+        from satflow_tpu.eval.probabilistic import evaluate_ensemble
+
+        epochs_d = _epochs(60)
+        dgmr = create_model(
+            "nowcastinggan", forecast_steps=STEPS, input_channels=1,
+            output_shape=DS48["width"], context_channels=24,
+            latent_channels=48, disc_channels=6, num_samples=3,
+            grid_lambda=20.0, disc_steps=1, gen_lr=2e-4, disc_lr=5e-5,
+        )
+        trainer = Trainer(max_epochs=epochs_d, log_every_n_steps=500, seed=0)
+        trainer.fit(dgmr, make_dm(stochastic=True))
+        g_vars = {"params": trainer.state.g_params,
+                  **trainer.state.model_state.get("g", {})}
+        ens = evaluate_ensemble(dgmr, g_vars, eval_sto, max_batches=3)
+        results["dgmr_mean@stoch"] = {
+            "mse_t": np.asarray(ens["mse"]).tolist(),
+            "mse": ens["mse_mean"],
+            "crps": ens["crps_mean"],
+            "sample_std": ens["sample_std"],
+            "d_loss": float(trainer.callback_metrics["train/d_loss"]),
+            "epochs": epochs_d,
+        }
+        print("dgmr_mean@stoch mse", ens["mse_mean"], "crps",
+              ens["crps_mean"], "std", ens["sample_std"])
 
     os.makedirs("docs", exist_ok=True)
     with open(RESULTS_PATH, "w") as f:
@@ -262,10 +330,11 @@ def main(arms=None):
     print(json.dumps({k: v.get("mse") for k, v in results.items()}))
 
 
-_FULL_RES = ("persistence", "optical_flow", "convlstm", "unet")
+_FULL_RES = ("persistence", "optical_flow", "convlstm", "unet", "perceiver")
 _GRID = ("persistence@metnet_grid", "optical_flow@metnet_grid", "metnet")
 _STOCH = ("persistence@stoch", "optical_flow@stoch", "convlstm@stoch",
-          "unet@stoch", "metnet@stoch")
+          "unet@stoch", "metnet@stoch", "perceiver@stoch",
+          "dgmr_mean@stoch")
 
 MARKER = "## 48-step horizon"
 
