@@ -249,3 +249,21 @@ def test_block_pick_scales_proportionally(monkeypatch):
     # explicit request and SATFLOW_BLOCK_H still bypass the budget entirely
     monkeypatch.setenv("SATFLOW_BLOCK_H", "16")
     assert pick(256, 256, 64, 64, None, 2) == 16
+
+
+def test_cmajor_prototype_matches_reference():
+    """The channel-major carry-layout prototype (tools/exp_cmajor.py — the
+    r2 ceiling study's recorded layout lever, measured in r5) computes the
+    exact ConvLSTM step: nine aligned gate-major matmuls + two lane rolls
+    must match the NHWC reference conv, including both W-boundary columns
+    and the top/bottom halo rows."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "exp_cmajor.py")
+    spec = importlib.util.spec_from_file_location("exp_cmajor", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.verify()  # interpret mode; asserts max|err| internally
+    mod.verify(bsz=1, height=16, width=8, ch=4, block_h=4)

@@ -566,10 +566,16 @@ def _write_md(r):
     if os.path.exists(path):  # fresh workspace: create the doc
         with open(path) as f:
             doc = f.read()
+    # preserve sections owned by later tools (tools/gan_128.py appends its
+    # reference-geometry section after this one)
+    tail = ""
+    tail_marker = "## DGMR at the reference geometry"
+    if tail_marker in doc:
+        tail = "\n" + doc[doc.index(tail_marker):]
     if _MARKER in doc:
         doc = doc[: doc.index(_MARKER)]
     with open(path, "w") as f:
-        f.write(doc.rstrip("\n") + "\n\n" + "\n".join(lines))
+        f.write(doc.rstrip("\n") + "\n\n" + "\n".join(lines) + tail)
 
 
 if __name__ == "__main__":

@@ -307,7 +307,11 @@ def main(arms=None):
             latent_channels=48, disc_channels=6, num_samples=3,
             grid_lambda=20.0, disc_steps=1, gen_lr=2e-4, disc_lr=5e-5,
         )
-        trainer = Trainer(max_epochs=epochs_d, log_every_n_steps=500, seed=0)
+        # split D/G jits: the compile-feasible GAN mode (docs/DESIGN.md DGMR
+        # note — one fused jit with three optimizer applications blows the
+        # compile budget; numerics gated identical in tests/test_dgmr.py)
+        trainer = Trainer(max_epochs=epochs_d, log_every_n_steps=500, seed=0,
+                          gan_step_mode="split")
         trainer.fit(dgmr, make_dm(stochastic=True))
         g_vars = {"params": trainer.state.g_params,
                   **trainer.state.model_state.get("g", {})}
