@@ -370,7 +370,7 @@ def test_horizon_study_artifact_full_protocol():
     # worst lead-time error is >10x its first-step error
     flow_t = r["optical_flow"]["mse_t"]
     assert max(flow_t) > 10 * flow_t[0]
-    for arm in ("convlstm", "unet"):
+    for arm in ("convlstm", "unet", "perceiver"):
         m = r[arm]
         assert m["mse"] < persist  # mean beats persistence even here
         assert m["mse_t"][-1] < flow_t[-1], f"{arm} must win at t=47"
@@ -387,7 +387,7 @@ def test_horizon_study_artifact_full_protocol():
     f_s, p_s = r["optical_flow@stoch"]["mse"], r["persistence@stoch"]["mse"]
     assert f_s < p_s  # flow functioning, by a margin not an order
     assert len(r["optical_flow@stoch"]["mse_t"]) == 48
-    for arm in ("convlstm@stoch", "unet@stoch"):
+    for arm in ("convlstm@stoch", "unet@stoch", "perceiver@stoch"):
         m = r[arm]
         assert m["mse"] < f_s < p_s, (
             f"{arm} mean {m['mse']:.5f} must beat flow {f_s:.5f} "
@@ -408,6 +408,19 @@ def test_horizon_study_artifact_full_protocol():
     assert f_gs < p_gs
     assert m["mse"] < f_gs < p_gs
     assert m["mse_t"][-1] < r["persistence@metnet_grid_stoch"]["mse_t"][-1]
+    # DGMR ensemble-mean arm (reference nowcasting_gan.yaml num_samples: 3 —
+    # the sample MEAN is the probabilistic family's deterministic product):
+    # three-way win at the full-horizon mean, with CRPS and spread recorded
+    # alongside (collapse stays visible; the spread story itself is owned by
+    # the GAN study's frontier) and a live discriminator.
+    m = r["dgmr_mean@stoch"]
+    assert m["mse"] < f_s < p_s, (
+        f"dgmr ensemble mean {m['mse']:.5f} must beat flow {f_s:.5f} "
+        f"and persistence {p_s:.5f}"
+    )
+    assert len(m["mse_t"]) == 48
+    assert "crps" in m and "sample_std" in m
+    assert 0.02 < m["d_loss"] < 4.0
 
 def test_accuracy_256_artifact_production_geometry():
     """256px production-geometry gate over the committed study artifact
