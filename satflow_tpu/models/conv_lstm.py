@@ -74,6 +74,83 @@ class _DecoderStepFused(nn.Module):
         return (s3, s4, h4), out
 
 
+class _CMajorCellParams(nn.Module):
+    """Parameter holder matching :class:`FusedConvLSTMCell`'s tree
+    (``x_gates_kernel`` / ``h_gates_kernel`` / ``bias``) so fused-trained
+    checkpoints serve on the C-major decoder unchanged."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        wx = self.param("x_gates_kernel", nn.initializers.lecun_normal(),
+                        (3, 3, self.in_features, 4 * self.features))
+        wh = self.param("h_gates_kernel", nn.initializers.lecun_normal(),
+                        (3, 3, self.features, 4 * self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (4 * self.features,))
+        return wx, wh, b
+
+
+class _CMajorHeadParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s kernel/bias tree (the head)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _DecoderStepCMajor(nn.Module):
+    """Autoregressive decoder step on flat channel-major carries (B, C, SP).
+
+    Same math and param tree as :class:`_DecoderStepFused`, but the carries
+    never leave the C-major layout: each cell is one ``cmajor_convlstm_step``
+    kernel — the 3x3 conv as nine lane-aligned MXU matmuls, replacing the
+    NHWC kernel's sublane-shifted window reads (measured 1.225x at the
+    ceiling-study shape, docs/DESIGN.md) — and the output head is a
+    ``cmajor_conv3x3`` on h4. Layout converts happen once per ROLLOUT at the
+    scan boundary, not once per step."""
+
+    features: int
+    head_channels: int
+    block_h: int
+    height: int
+    width: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        from satflow_tpu.ops.pallas.cmajor_convlstm import (
+            cmajor_conv3x3,
+            cmajor_convlstm_step,
+        )
+
+        (h3, c3), (h4, c4), v = carry
+        cdtype = self.dtype or v.dtype
+        wx1, wh1, b1 = _CMajorCellParams(
+            self.features, self.features, name="decoder_1")()
+        wx2, wh2, b2 = _CMajorCellParams(
+            self.features, self.features, name="decoder_2")()
+        geo = (self.block_h, self.height, self.width)
+        h3, c3 = cmajor_convlstm_step(
+            v, h3, c3, wx1.astype(cdtype), wh1.astype(cdtype),
+            b1.astype(cdtype), *geo)
+        h4, c4 = cmajor_convlstm_step(
+            h3, h4, c4, wx2.astype(cdtype), wh2.astype(cdtype),
+            b2.astype(cdtype), *geo)
+        wk, wb = _CMajorHeadParams(
+            self.head_channels, self.features, name="head")()
+        out = cmajor_conv3x3(h4, wk.astype(cdtype), wb.astype(cdtype), *geo)
+        return ((h3, c3), (h4, c4), h4), out
+
+
 class _EncoderStepSplit(nn.Module):
     """Encoder step on precomputed input gates (split-conv fast path)."""
 
@@ -243,6 +320,13 @@ class ConvLSTMCore(nn.Module):
     #  - "fused": every cell runs as ONE Pallas kernel (both convs + gates +
     #    state in VMEM, ops/pallas/fused_convlstm_step.py) — measured 656 →
     #    880 frames/s on the v5e rollout bench; exact XLA fallback off-TPU.
+    #  - "cmajor": fused encoder + channel-major flat-lane DECODER
+    #    (ops/pallas/cmajor_convlstm.py): the autoregressive carries stay in
+    #    (B, C, SP) layout across the whole rollout, each cell is nine
+    #    lane-aligned MXU matmuls (measured 1.225x over the NHWC fused step
+    #    at the ceiling-study shape). Requires W%128==0, hidden%8==0 and
+    #    head_in_scan; degrades to "fused" elsewhere. Inference-oriented:
+    #    its backward routes through the exact NHWC reference step.
     cell_impl: str = "fused"
     unroll: int = 1
     # rematerialize per-step activations in the backward pass: the 48-step
@@ -275,7 +359,9 @@ class ConvLSTMCore(nn.Module):
         cdtype = self.dtype or x.dtype
         x = x.astype(cdtype)
         std = self.conv_type == "standard"
-        fused = self.cell_impl == "fused" and std
+        # "cmajor" shares the fused encoder (and the fused decoder wherever
+        # the C-major geometry/mode gate below declines the rollout).
+        fused = self.cell_impl in ("fused", "cmajor") and std
         split_enc = self.cell_impl in ("split", "hybrid") and std
         split_dec = self.cell_impl == "split" and std
 
@@ -350,6 +436,26 @@ class ConvLSTMCore(nn.Module):
         encoder_vector = s2[0]  # final hidden state of layer 2 (conv_lstm.py:184-186)
 
         head_ch = self.out_channels if self.head_in_scan else 0
+        if self.cell_impl == "cmajor" and std and not chunked_layout:
+            from satflow_tpu.ops.pallas.cmajor_convlstm import (
+                cmajor_supported,
+                default_block_h,
+                from_cmajor_seq,
+                to_cmajor,
+            )
+
+            if self.head_in_scan and cmajor_supported(h, w, self.hidden_dim):
+                bh = default_block_h(h)
+                decoder = nn.scan(
+                    step_cls(_DecoderStepCMajor), **dict(scan_kwargs, length=steps)
+                )(self.hidden_dim, head_ch, bh, h, w, self.dtype, name="decoder")
+                # one layout convert per rollout: strip the encoder's W halo,
+                # go C-major; zero carries are born in-layout
+                v0 = to_cmajor(encoder_vector[:, :, 1:-1], bh)
+                zc = jnp.zeros_like(v0)
+                _, out_seq = decoder(((zc, zc), (zc, zc), v0), None)
+                out = from_cmajor_seq(out_seq, h, w, bh)  # (B, steps, H, W, out)
+                return nn.sigmoid(out)
         if fused:
             dec_cls, dec_args = _DecoderStepFused, (self.hidden_dim, self.dtype,
                                                     head_ch)

@@ -463,3 +463,43 @@ def test_accuracy_256_artifact_production_geometry():
         f"and persistence {p_s:.5f}"
     )
     assert ms["mse_t"][-1] < r["persistence@256px_stoch"]["mse_t"][-1]
+
+
+def test_dgmr_128px_reference_geometry_artifact():
+    """DGMR quality gate at the REFERENCE geometry — 128px, 24 lead steps,
+    M=3 samples (reference configs/model/nowcasting_gan.yaml:4-11) — over the
+    committed artifact (tools/gan_128.py trains 60 epochs x 12 rounds on TPU
+    with split D/G jits and CRPS checkpoint selection).
+
+    Gates: the CRPS-selected checkpoint must beat persistence on mean MSE at
+    every recorded horizon aggregate, selection must improve both CRPS
+    estimators over the final checkpoint, and the full selection trajectory
+    must be in the artifact. The spread collapse at this geometry (std ~1e-3
+    vs oracle 8.3e-3, so CRPS does NOT beat persistence's M=1 MAE) is the
+    DOCUMENTED honest result (docs/ACCURACY.md "DGMR at the reference
+    geometry") — asserted recorded, not hidden; the fair-CRPS fine-tune that
+    restores spread is demonstrated at the 32px study geometry."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "gan_128.json")
+    with open(path) as f:
+        r = json.load(f)
+    p = r["persistence@128px"]
+    s = r["dgmr_crps_selected@128px"]
+    assert s["mse"] < p["mse"], (
+        f"selected DGMR {s['mse']:.5f} must beat persistence {p['mse']:.5f}"
+    )
+    assert len(s["mse_t"]) == 24 and len(p["mse_t"]) == 24
+    assert s["mse_t"][-1] < p["mse_t"][-1]
+    # CRPS checkpoint selection functions at this geometry too
+    d = r["dgmr@128px"]
+    assert s["crps"] < d["crps"]
+    assert s["crps_fair_m8"] < d["crps_fair_m8"]
+    assert len(s["trajectory"]) >= 10
+    # the collapse is recorded alongside the oracle scale, not hidden
+    assert "sample_std" in s and "oracle_sample_std@128px" in r
+    assert r["oracle_crps@128px"] < s["crps_fair_m8"]
+    # reference-config provenance is in the artifact
+    assert d["num_samples"] == 3 and d["batch"] == 4
