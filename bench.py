@@ -32,6 +32,10 @@ CHANNELS = 12
 BATCH = int(os.environ.get("BENCH_BATCH", "56"))
 UNROLL = int(os.environ.get("BENCH_UNROLL", "24"))
 HIDDEN = 64
+# "cmajor": channel-major flat-lane decoder (ops/pallas/cmajor_convlstm.py) —
+# the r5 layout lever, measured 1.225x over the NHWC fused step at the
+# ceiling-study shape; "fused": the NHWC padded-IO Pallas cell everywhere.
+CELL_IMPL = os.environ.get("BENCH_CELL_IMPL", "fused")
 
 
 def main():
@@ -44,7 +48,7 @@ def main():
         hidden_dim=HIDDEN,
         out_channels=CHANNELS,
         forecast_steps=FORECAST_STEPS,
-        cell_impl="fused",  # fully fused Pallas cell, padded-IO h states
+        cell_impl=CELL_IMPL,
         unroll=UNROLL,  # measured: 560 (u1) -> 613 (u4) -> 656 f/s (u8) on v5e
         head_in_scan=os.environ.get("BENCH_HEAD_IN_SCAN", "1") == "1",
         dtype=jnp.bfloat16,
