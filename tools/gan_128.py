@@ -23,8 +23,16 @@ Writes docs/gan_128.json + a "## DGMR at the reference geometry" section in
 docs/ACCURACY.md. Gated by tests/test_accuracy.py (artifact) and a
 hardware-marked smoke in tests/test_tpu_smoke.py.
 
+Round-5 extension: `--finetune-steps N` applies the fair-CRPS generator
+fine-tune (train/probabilistic.py, the recipe that restored spread to 104%
+of oracle at the 32px study geometry) to the CRPS-selected checkpoint AT
+THIS geometry, recording the CRPS-vs-spread-vs-MSE frontier. Trained
+generator state is pickled to `--state` so the fine-tune can be re-run or
+extended without retraining (`--skip-train`).
+
 Usage (TPU): python tools/gan_128.py [--epochs 60] [--batch 4]
              [--context-channels 384] [--latent-channels 768]
+             [--finetune-steps 800] [--finetune-m 6] [--skip-train]
 """
 
 from __future__ import annotations
@@ -32,6 +40,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 
 import numpy as np
 
@@ -119,7 +128,10 @@ def _persistence_rows(eval_ds):
     return np.mean(mses, axis=0), float(np.mean(crpss))
 
 
-def main(epochs, batch, context_channels, latent_channels):
+def main(epochs, batch, context_channels, latent_channels,
+         finetune_steps=0, finetune_m=6, finetune_lr=1e-4,
+         finetune_every=200, skip_train=False, from_finetuned=False,
+         state_path="/tmp/gan128_state.pkl"):
     import jax
     import jax.numpy as jnp
 
@@ -160,6 +172,107 @@ def main(epochs, batch, context_channels, latent_channels):
         disc_steps=2, gen_lr=5e-5, disc_lr=2e-4,
     )
 
+    def _row(g_vars):
+        ens = evaluate_ensemble(dgmr, g_vars, eval_ds,
+                                max_batches=EVAL_BATCHES)
+        ens8 = evaluate_ensemble(dgmr, g_vars, eval_ds, num_samples=8,
+                                 max_batches=EVAL_BATCHES, fair=True)
+        return {
+            "mse_t": np.asarray(ens["mse"]).tolist(),
+            "mse": ens["mse_mean"],
+            "crps": ens["crps_mean"],
+            "sample_std": ens["sample_std"],
+            "crps_fair_m8": ens8["crps_mean"],
+        }
+
+    common = {
+        "epochs": epochs, "batch": batch, "num_samples": dgmr.num_samples,
+        "context_channels": context_channels,
+        "latent_channels": latent_channels,
+    }
+
+    saved = None
+    if skip_train:
+        # reuse the trained generator state from a prior invocation —
+        # the dgmr@128px / dgmr_crps_selected@128px rows stay as committed
+        with open(state_path, "rb") as f:
+            saved = pickle.load(f)
+        sel_g_vars = jax.tree_util.tree_map(jnp.asarray, saved["selected"])
+        sel_epoch = saved["selected_epoch"]
+    else:
+        sel_g_vars, sel_epoch = _train(
+            dgmr, epochs, batch, results, common, _row, state_path,
+            Callback, Trainer, StochasticAdvectionDataset, crps_ensemble)
+
+    if finetune_steps:
+        # Fair-CRPS generator fine-tune at the reference geometry: the
+        # 32px recipe (gan_gate.py / train/probabilistic.py) applied to
+        # the CRPS-selected 128px checkpoint. Non-param collections
+        # (spectral-norm u/v) frozen; warmup-cosine; the frontier (CRPS /
+        # spread / MSE every --finetune-every steps) goes in the doc.
+        from satflow_tpu.train.probabilistic import crps_finetune
+
+        # --from-finetuned continues a previous leg: start from the pickled
+        # fine-tuned state and merge frontiers (step numbers cumulative), so
+        # a long schedule can run as interruption-safe legs.
+        start_vars, prev_steps, prev_frontier = sel_g_vars, 0, []
+        if from_finetuned:
+            if saved is None:
+                with open(state_path, "rb") as f:
+                    saved = pickle.load(f)
+            start_vars = jax.tree_util.tree_map(
+                jnp.asarray, saved["finetuned"])
+            prev_steps = saved.get("finetuned_steps", 0)
+            prev_frontier = list(
+                results.get("dgmr_crps_finetuned@128px", {})
+                .get("frontier", []))
+
+        train_sto = StochasticAdvectionDataset(
+            length=12, seed=0, **{**DS128, "batch_size": batch})
+        ft_vars, ft_hist = crps_finetune(
+            dgmr, start_vars, list(train_sto), steps=finetune_steps,
+            num_samples=finetune_m, lr=finetune_lr, lr_schedule="cosine",
+            eval_every=finetune_every, eval_fn=_row, seed=prev_steps,
+        )
+        results["dgmr_crps_finetuned@128px"] = {
+            **_row(ft_vars),
+            "from_epoch": sel_epoch,
+            "finetune_steps": prev_steps + finetune_steps,
+            "finetune_num_samples": finetune_m,
+            "finetune_lr": finetune_lr,
+            "fair_crps_history": list(ft_hist),
+            "frontier": prev_frontier + [
+                {"step": prev_steps + s, "crps": e["crps"],
+                 "sample_std": e["sample_std"],
+                 "mse": e["mse"], "crps_fair_m8": e.get("crps_fair_m8")}
+                for s, e in ft_hist.frontier
+            ],
+            **common,
+        }
+        state = {}
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as f:
+                state = pickle.load(f)
+        state["finetuned"] = jax.device_get(ft_vars)
+        state["finetuned_steps"] = prev_steps + finetune_steps
+        with open(state_path, "wb") as f:
+            pickle.dump(state, f)
+        m = results["dgmr_crps_finetuned@128px"]
+        print("dgmr@128px FINETUNED",
+              {k: m[k] for k in ("mse", "crps", "crps_fair_m8",
+                                 "sample_std")}, flush=True)
+
+    os.makedirs("docs", exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=2)
+    _write_md(results)
+
+
+def _train(dgmr, epochs, batch, results, common, _row, state_path,
+           Callback, Trainer, StochasticAdvectionDataset, crps_ensemble):
+    import jax
+    import jax.numpy as jnp
+
     class CRPSSelect(Callback):
         """Diversity-aware checkpoint selection (see tools/gan_gate.py —
         CRPS penalizes both miss AND collapse; one jitted probe with the
@@ -198,34 +311,17 @@ def main(epochs, batch, context_channels, latent_channels):
                       gan_step_mode="split")
     trainer.fit(dgmr, make_dm(batch))
 
-    def _row(g_vars):
-        ens = evaluate_ensemble(dgmr, g_vars, eval_ds,
-                                max_batches=EVAL_BATCHES)
-        ens8 = evaluate_ensemble(dgmr, g_vars, eval_ds, num_samples=8,
-                                 max_batches=EVAL_BATCHES, fair=True)
-        return {
-            "mse_t": np.asarray(ens["mse"]).tolist(),
-            "mse": ens["mse_mean"],
-            "crps": ens["crps_mean"],
-            "sample_std": ens["sample_std"],
-            "crps_fair_m8": ens8["crps_mean"],
-        }
-
     g_vars = {"params": trainer.state.g_params,
               **trainer.state.model_state.get("g", {})}
-    common = {
-        "epochs": epochs, "batch": batch, "num_samples": dgmr.num_samples,
-        "context_channels": context_channels,
-        "latent_channels": latent_channels,
-    }
     results["dgmr@128px"] = {
         **_row(g_vars),
         "d_loss": float(trainer.callback_metrics["train/d_loss"]),
         **common,
     }
     sel = selector.best
+    sel_g_vars = jax.tree_util.tree_map(jnp.asarray, sel["g_vars"])
     results["dgmr_crps_selected@128px"] = {
-        **_row(jax.tree_util.tree_map(jnp.asarray, sel["g_vars"])),
+        **_row(sel_g_vars),
         "selected_epoch": sel["epoch"],
         "trajectory": selector.trajectory[::5],
         **common,
@@ -235,11 +331,11 @@ def main(epochs, batch, context_channels, latent_channels):
     print("dgmr@128px SELECTED (epoch", sel["epoch"], ")",
           {k: v for k, v in results["dgmr_crps_selected@128px"].items()
            if k not in ("mse_t", "trajectory")}, flush=True)
-
-    os.makedirs("docs", exist_ok=True)
-    with open(RESULTS_PATH, "w") as f:
-        json.dump(results, f, indent=2)
-    _write_md(results)
+    with open(state_path, "wb") as f:
+        pickle.dump({"selected": sel["g_vars"],
+                     "selected_epoch": sel["epoch"],
+                     "final": jax.device_get(g_vars)}, f)
+    return sel_g_vars, sel["epoch"]
 
 
 def _section(r):
@@ -264,7 +360,8 @@ def _section(r):
         f"| persistence@128px | {p['mse']:.5f} | {p['crps']:.4f} | "
         f"{p['crps']:.4f} | - |",
     ]
-    for name in ("dgmr@128px", "dgmr_crps_selected@128px"):
+    for name in ("dgmr@128px", "dgmr_crps_selected@128px",
+                 "dgmr_crps_finetuned@128px"):
         if name not in r:
             continue
         m = r[name]
@@ -282,6 +379,28 @@ def _section(r):
             f"context {m['context_channels']} / latent "
             f"{m['latent_channels']} channels.",
         ]
+    ft = r.get("dgmr_crps_finetuned@128px")
+    if ft:
+        o_std = r["oracle_sample_std@128px"]
+        lines += [
+            "",
+            f"Fair-CRPS fine-tune at this geometry ({ft['finetune_steps']} "
+            f"generator-only Adam steps, M={ft['finetune_num_samples']}, "
+            f"warmup-cosine lr {ft['finetune_lr']:g}, from the selected "
+            f"epoch-{ft['from_epoch']} checkpoint — the 32px study's "
+            "spread-restoration recipe applied at 128px). Frontier "
+            "(evaluated on the held-out stochastic set):",
+            "",
+            "| step | fair CRPS (M=8) | sample std | % of oracle std "
+            "| mean MSE |",
+            "|---|---|---|---|---|",
+        ]
+        for row in ft["frontier"]:
+            lines.append(
+                f"| {row['step']} | {row['crps_fair_m8']:.4f} | "
+                f"{row['sample_std']:.1e} | "
+                f"{100 * row['sample_std'] / o_std:.0f}% | "
+                f"{row['mse']:.5f} |")
     lines.append("")
     return "\n".join(lines)
 
@@ -310,5 +429,20 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--context-channels", type=int, default=384)
     p.add_argument("--latent-channels", type=int, default=768)
+    p.add_argument("--finetune-steps", type=int, default=0)
+    p.add_argument("--finetune-m", type=int, default=6)
+    p.add_argument("--finetune-lr", type=float, default=1e-4)
+    p.add_argument("--finetune-every", type=int, default=200)
+    p.add_argument("--skip-train", action="store_true",
+                   help="load generator state from --state instead of "
+                        "training (keeps the committed train rows)")
+    p.add_argument("--from-finetuned", action="store_true",
+                   help="continue the fine-tune from the pickled "
+                        "fine-tuned state (cumulative frontier)")
+    p.add_argument("--state", default="/tmp/gan128_state.pkl")
     a = p.parse_args()
-    main(a.epochs, a.batch, a.context_channels, a.latent_channels)
+    main(a.epochs, a.batch, a.context_channels, a.latent_channels,
+         finetune_steps=a.finetune_steps, finetune_m=a.finetune_m,
+         finetune_lr=a.finetune_lr, finetune_every=a.finetune_every,
+         skip_train=a.skip_train, from_finetuned=a.from_finetuned,
+         state_path=a.state)
